@@ -1,0 +1,102 @@
+"""Preconditioner protocol (reference layer L4 root).
+
+Re-expresses the reference's ``Preconditioner`` interface — ``compute()``,
+``apply()``, ``apply_relax()``, ``setApplyParams()``
+(reference: include/solverops_base.hpp:31-64) — in a functional style:
+
+- construction binds the operator to a *matrix view* (the preconditioner never
+  owns the system matrix; reference invariant, solverops_base.cpp:20-25),
+- :meth:`compute` builds/refreshes a pytree ``state`` held on the object,
+- :meth:`apply` / :meth:`apply_relax` are pure in ``(state, vectors)`` and are
+  traceable, so they can be closed over inside jitted Krylov loops.
+
+Vector convention: scalar operators take flat ``(n,)`` vectors; block
+operators take block-segment ``(nbrows, bs)`` arrays.  ``apply_flat`` adapts
+either to flat vectors for the solvers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+
+from ..sparse.bsr import PaddedBSR
+from ..sparse.csr import PaddedCSR
+
+__all__ = ["SolveParams", "Preconditioner", "NoPreconditioner", "PrecInfo"]
+
+
+class SolveParams(NamedTuple):
+    """Relaxation stopping parameters (reference: solverops_base.hpp
+    setApplyParams — rtol/abstol/dtol/maxits)."""
+
+    rtol: float = 0.0
+    atol: float = 0.0
+    dtol: float = 0.0
+    usetol: bool = False
+    maxits: int = 1
+
+
+class PrecInfo(NamedTuple):
+    """Preconditioner-quality diagnostics
+    (reference: include/preconditioner_diagnostics.hpp:14-57)."""
+
+    prec_rem_initial_norm: jax.Array | float = 0.0
+    prec_remainder_norm: jax.Array | float = 0.0
+    lower_avg_diag_dom: jax.Array | float = 0.0
+    lower_min_diag_dom: jax.Array | float = 0.0
+    upper_avg_diag_dom: jax.Array | float = 0.0
+    upper_min_diag_dom: jax.Array | float = 0.0
+
+
+class Preconditioner:
+    """Base class; concrete operators bind a padded matrix and build state."""
+
+    def __init__(self, mat: PaddedCSR | PaddedBSR):
+        self.mat = mat
+        self.state = None
+        self.solveparams = SolveParams()
+
+    # -- the reference triad -----------------------------------------------
+
+    def compute(self) -> PrecInfo:
+        raise NotImplementedError
+
+    def apply(self, r: jax.Array) -> jax.Array:
+        raise NotImplementedError
+
+    def apply_relax(self, b: jax.Array, x: jax.Array) -> jax.Array:
+        raise NotImplementedError
+
+    def set_apply_params(self, params: SolveParams) -> None:
+        """(reference: solverops_base.hpp setApplyParams)"""
+        self.solveparams = params
+
+    # -- adapters -----------------------------------------------------------
+
+    @property
+    def block_size(self) -> int:
+        return self.mat.bs if isinstance(self.mat, PaddedBSR) else 1
+
+    def apply_flat(self, r: jax.Array) -> jax.Array:
+        """Apply on a flat (n,) vector regardless of block form."""
+        bs = self.block_size
+        if bs == 1:
+            return self.apply(r)
+        return self.apply(r.reshape(-1, bs)).reshape(-1)
+
+
+class NoPreconditioner(Preconditioner):
+    """Identity (reference: solverops_base.hpp:80-106, 'none')."""
+
+    def compute(self) -> PrecInfo:
+        self.state = ()
+        return PrecInfo()
+
+    def apply(self, r: jax.Array) -> jax.Array:
+        return r
+
+    def apply_relax(self, b: jax.Array, x: jax.Array) -> jax.Array:
+        raise NotImplementedError("No relaxation for 'none' preconditioner")

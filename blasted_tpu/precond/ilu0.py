@@ -1,0 +1,406 @@
+"""Fixed-point ("asynchronous") ILU(0) preconditioners, scalar and block.
+
+Equivalent of ``AsyncILU0_SRPreconditioner`` / ``AsyncBlockILU0_SRPreconditioner``
+(reference: src/solverops_ilu0.cpp, src/async_ilu_factor.cpp,
+src/async_blockilu_factor.cpp, src/kernels/kernels_ilu0_factorize.hpp).
+
+Factorization (Chow–Patel): repeat ``nbuildsweeps`` times the whole-pattern
+update
+    lower (i>c):  l_ic ← (â_ic − Σ l_ik u_kc) / u_cc
+    upper (i<=c): u_ic ←  â_ic − Σ l_ik u_kc
+where every right-hand value is read from the *previous* sweep — the
+synchronous realisation of the reference's no-partial-store invariant
+(kernels_ilu0_factorize.hpp:34-40): a shared entry never holds a partial sum,
+here because sweeps are double-buffered by construction.  The pair lists come
+from the host-side symbolic pass (ilu_pattern.py) padded into gather tensors;
+one sweep is two gathers, an (nnz, P) product-reduction (batched bs×bs matmuls
+on the MXU for the block variant) and one divide.
+
+``nbuildsweeps == SEQUENTIAL`` (−1, reference blasted_petsc.cpp:88-133)
+selects the *exact* factorization: the same update applied level-by-level in
+dependency order (one masked sweep per level), reproducing the sequential
+IKJ ILU(0) exactly.  Likewise ``napplysweeps == SEQUENTIAL`` selects exact
+level-scheduled triangular solves.  The seq/sf/sap factory variants
+(solverfactory.cpp:93-107) are combinations of these two switches.
+
+Optional symmetric scaling Â = S·A·S with S = diag(1/√a_ii)
+(reference: async_ilu_factor.cpp:43-45, getScalingVector).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SEQUENTIAL, ApplyInit, FactInit
+from ..ops.sweeps import (
+    block_unit_lower_sweep,
+    block_upper_solve_sweep,
+    invert_diag_blocks,
+    run_sweeps,
+    unit_lower_sweep,
+    upper_solve_sweep,
+)
+from ..sparse.bsr import PaddedBSR
+from ..sparse.csr import PaddedCSR, extend_zero
+from .base import Preconditioner, PrecInfo
+from .ilu_pattern import compute_ilu_positions, pad_ilu_positions, rows_of_nnz
+from .levels import (
+    compute_levels_lower,
+    compute_levels_upper,
+    exact_block_lower_solve,
+    exact_block_upper_solve,
+    exact_lower_solve,
+    exact_upper_solve,
+)
+
+__all__ = ["ILU0Preconditioner", "BlockILU0Preconditioner"]
+
+
+class _ILUSymbolic(NamedTuple):
+    """Device-resident symbolic data, computed once per sparsity pattern
+    (reference caches plist across compute() calls, solverops_ilu0.cpp:193-196)."""
+
+    lowerp: jax.Array      # (nnz, P) int32 pair gather indices, sentinel nnz
+    upperp: jax.Array      # (nnz, P)
+    colind: jax.Array      # (nnz,) int32 — column of each stored nonzero
+    is_lower: jax.Array    # (nnz,) bool  — strictly-lower entries
+    fact_level: jax.Array  # (n,) int32 — row wavefront for exact factorization
+    low_level: jax.Array   # (n,) int32 — wavefronts for exact L-solve
+    up_level: jax.Array    # (n,) int32 — wavefronts for exact U-solve
+    nfact: int
+    nlow: int
+    nup: int
+    # Within one factorization wavefront, a row's lower entries form a chain
+    # (l_ic reads l_ik, k<c, of the same row); this many masked inner sweeps
+    # make the per-level update exact: max lower-entries-per-row + 1.
+    fact_inner: int
+
+
+class _ILUState(NamedTuple):
+    ilu: jax.Array        # (nnz,) or (nnzb, bs, bs) factor values
+    ilu_pad: jax.Array    # row-padded factor values for the solves
+    ilu_dinv: jax.Array   # 1/u_ii or inv(U_ii)
+    scale: jax.Array | None
+
+
+def _build_symbolic(P, bs_rows=None) -> _ILUSymbolic:
+    rowptr = np.asarray(P.rowptr)
+    n = rowptr.shape[0] - 1
+    nnz = int(np.asarray(P.nnz_total))
+    # reconstruct flat colind from the padded form
+    colind_np = np.zeros(nnz, dtype=np.int32)
+    pos = np.asarray(P.pos)
+    cols = np.asarray(P.colind)
+    valid = pos < nnz
+    colind_np[pos[valid]] = cols[valid]
+    diagind = np.asarray(P.diagind)
+
+    plist = compute_ilu_positions(rowptr, colind_np, diagind)
+    padded = pad_ilu_positions(plist, nnz)
+    rows = rows_of_nnz(rowptr)
+    is_lower = colind_np < rows
+
+    fact_level = compute_levels_lower(rowptr, colind_np)
+    low_level = fact_level  # same dependency pattern (strict lower)
+    up_level = compute_levels_upper(rowptr, colind_np)
+    rows = rows_of_nnz(rowptr)
+    nlower_per_row = np.bincount(rows[is_lower], minlength=n) if nnz else \
+        np.zeros(n, dtype=np.int64)
+    return _ILUSymbolic(
+        lowerp=jnp.asarray(padded.lowerp),
+        upperp=jnp.asarray(padded.upperp),
+        colind=jnp.asarray(colind_np),
+        is_lower=jnp.asarray(is_lower),
+        fact_level=jnp.asarray(fact_level),
+        low_level=jnp.asarray(low_level),
+        up_level=jnp.asarray(up_level),
+        nfact=int(fact_level.max()) + 1,
+        nlow=int(fact_level.max()) + 1,
+        nup=int(up_level.max()) + 1,
+        fact_inner=int(nlower_per_row.max()) + 1,
+    )
+
+
+# ================================================================= scalar ====
+
+class ILU0Preconditioner(Preconditioner):
+    """Scalar fixed-point ILU(0) (reference: solverops_ilu0.cpp:218-383)."""
+
+    def __init__(self, mat: PaddedCSR, nbuildsweeps: int = 1,
+                 napplysweeps: int = 1, use_scaling: bool = False,
+                 fact_init: FactInit = FactInit.ORIGINAL,
+                 apply_init: ApplyInit = ApplyInit.ZERO,
+                 compute_precinfo: bool = False):
+        super().__init__(mat)
+        self.nbuildsweeps = nbuildsweeps
+        self.napplysweeps = napplysweeps
+        self.use_scaling = use_scaling
+        self.fact_init = fact_init
+        self.apply_init = apply_init
+        self.compute_precinfo = compute_precinfo
+        self.symbolic: _ILUSymbolic | None = None
+        self._vals = None  # flat (nnz,) original values, reconstructed once
+
+    # -- setup --------------------------------------------------------------
+
+    def _ensure_symbolic(self):
+        if self.symbolic is None:
+            self.symbolic = _build_symbolic(self.mat)
+            # flat original values from the padded form
+            nnz = int(np.asarray(self.mat.nnz_total))
+            pos = np.asarray(self.mat.pos)
+            vp = np.asarray(self.mat.vals_pad)
+            vals = np.zeros(nnz, dtype=vp.dtype)
+            valid = pos < nnz
+            vals[pos[valid]] = vp[valid]
+            self._vals = jnp.asarray(vals)
+
+    def _scaled_vals(self, scale):
+        sym = self.symbolic
+        rows = jnp.asarray(rows_of_nnz(np.asarray(self.mat.rowptr)))
+        if scale is None:
+            return self._vals
+        return scale[rows] * self._vals * scale[sym.colind]
+
+    def _fact_initial(self, base):
+        """Initial iterate (reference: async_ilu_factor.cpp:47-60, 109-151;
+        INIT_F_ZERO falls through to the original-matrix init)."""
+        sym = self.symbolic
+        if self.fact_init == FactInit.SGS:
+            # L' = L D⁻¹ (+I implied), U' = D+U so L'U' = (D+L)D⁻¹(D+U)
+            diag = base[self.mat.diagind]
+            ilu0 = jnp.where(sym.is_lower, base / diag[sym.colind], base)
+            return ilu0
+        return base  # ZERO and ORIGINAL both start from (scaled) A
+
+    def _factor_sweep_fn(self, base):
+        sym = self.symbolic
+        diagind = self.mat.diagind
+
+        def sweep(ilu):
+            ext = extend_zero(ilu)
+            s = base - jnp.sum(ext[sym.lowerp] * ext[sym.upperp], axis=1)
+            udiag = ilu[diagind]                      # previous sweep's u_cc
+            return jnp.where(sym.is_lower, s / udiag[sym.colind], s)
+
+        return sweep
+
+    def compute(self) -> PrecInfo:
+        self._ensure_symbolic()
+        sym = self.symbolic
+        scale = None
+        if self.use_scaling:
+            scale = 1.0 / jnp.sqrt(self._vals[self.mat.diagind])
+        base = self._scaled_vals(scale)
+
+        if self.state is not None and self.fact_init == FactInit.NONE:
+            ilu = self.state.ilu                      # warm start from last compute
+        else:
+            ilu = self._fact_initial(base)
+
+        sweep = self._factor_sweep_fn(base)
+        info0 = self._nonlinear_res(base, ilu) if self.compute_precinfo else 0.0
+
+        if self.nbuildsweeps == SEQUENTIAL:
+            # exact: fact_inner masked sweeps per wavefront in dependency order
+            # (inner sweeps resolve the within-row lower-entry chain)
+            rows = jnp.asarray(rows_of_nnz(np.asarray(self.mat.rowptr)))
+            lev_of_nnz = sym.fact_level[rows]
+
+            def body(it, x):
+                lev = it // sym.fact_inner
+                xn = sweep(x)
+                return jnp.where(lev_of_nnz == lev, xn, x)
+
+            ilu = jax.lax.fori_loop(0, sym.nfact * sym.fact_inner, body, ilu)
+        else:
+            ilu = run_sweeps(self.nbuildsweeps, sweep, ilu)
+
+        self.state = _ILUState(
+            ilu=ilu,
+            ilu_pad=self.mat.repad_vals(ilu),
+            ilu_dinv=1.0 / ilu[self.mat.diagind],
+            scale=scale,
+        )
+        if self.compute_precinfo:
+            info1 = self._nonlinear_res(base, ilu)
+            return PrecInfo(prec_rem_initial_norm=info0,
+                            prec_remainder_norm=info1)
+        return PrecInfo()
+
+    def _nonlinear_res(self, base, ilu):
+        """Σ|â_j − Σ_k l·u − (l_j·u_cc | u_j)| — the ILU fixed-point remainder
+        (reference: async_ilu_factor.cpp scalar_ilu0_nonlinear_res, :179-217)."""
+        sym = self.symbolic
+        ext = extend_zero(ilu)
+        s = base - jnp.sum(ext[sym.lowerp] * ext[sym.upperp], axis=1)
+        udiag = ilu[self.mat.diagind]
+        s = s - jnp.where(sym.is_lower, ilu * udiag[sym.colind], ilu)
+        return jnp.sum(jnp.abs(s))
+
+    # -- apply --------------------------------------------------------------
+
+    def apply(self, r: jax.Array) -> jax.Array:
+        """Solve LU z ≈ r by sweep (or exact wavefront) triangular solves
+        (reference: scalar_ilu0_apply, solverops_ilu0.cpp:240-321)."""
+        st, sym = self.state, self.symbolic
+        A = self.mat
+        z = st.scale * r if st.scale is not None else r
+
+        if self.napplysweeps == SEQUENTIAL:
+            y = exact_lower_solve(A, st.ilu_pad, z, sym.low_level, sym.nlow)
+            zout = exact_upper_solve(A, st.ilu_pad, st.ilu_dinv, y,
+                                     sym.up_level, sym.nup)
+        else:
+            y0 = jnp.zeros_like(z)
+            y = run_sweeps(self.napplysweeps,
+                           lambda y: unit_lower_sweep(A, st.ilu_pad, z, y), y0)
+            z0 = y if self.apply_init == ApplyInit.JACOBI else jnp.zeros_like(z)
+            zout = run_sweeps(self.napplysweeps,
+                              lambda zz: upper_solve_sweep(A, st.ilu_pad,
+                                                           st.ilu_dinv, y, zz), z0)
+
+        return st.scale * zout if st.scale is not None else zout
+
+    def apply_relax(self, b, x):
+        raise NotImplementedError("ILU relaxation not implemented "
+                                  "(matches reference, solverops_ilu0.cpp:378-383)")
+
+
+# ================================================================== block ====
+
+class BlockILU0Preconditioner(Preconditioner):
+    """Block fixed-point ILU(0) (reference: solverops_ilu0.cpp:19-216,
+    async_blockilu_factor.cpp).  Lower update right-multiplies by the inverse
+    of the previous sweep's diagonal block (kernels_ilu0_factorize.hpp:86-96);
+    diagonal blocks are pre-inverted for the apply
+    (async_blockilu_factor.cpp:143-147)."""
+
+    def __init__(self, mat: PaddedBSR, nbuildsweeps: int = 1,
+                 napplysweeps: int = 1, use_scaling: bool = False,
+                 fact_init: FactInit = FactInit.ORIGINAL,
+                 apply_init: ApplyInit = ApplyInit.ZERO):
+        super().__init__(mat)
+        self.nbuildsweeps = nbuildsweeps
+        self.napplysweeps = napplysweeps
+        self.use_scaling = use_scaling
+        self.fact_init = fact_init
+        self.apply_init = apply_init
+        self.symbolic: _ILUSymbolic | None = None
+        self._vals = None
+
+    def _ensure_symbolic(self):
+        if self.symbolic is None:
+            self.symbolic = _build_symbolic(self.mat)
+            nnzb = int(np.asarray(self.mat.nnz_total))
+            pos = np.asarray(self.mat.pos)
+            vp = np.asarray(self.mat.vals_pad)
+            bs = self.mat.bs
+            vals = np.zeros((nnzb, bs, bs), dtype=vp.dtype)
+            valid = pos < nnzb
+            vals[pos[valid]] = vp[valid]
+            self._vals = jnp.asarray(vals)
+
+    def _scaled_vals(self, scale):
+        """scaleBlock: val[i,j] *= s[row·bs+i]·s[col·bs+j]
+        (reference: kernels_ilu0_factorize.hpp:61-69); scale is (nbrows, bs)."""
+        if scale is None:
+            return self._vals
+        sym = self.symbolic
+        rows = jnp.asarray(rows_of_nnz(np.asarray(self.mat.rowptr)))
+        srow = scale[rows]            # (nnzb, bs)
+        scol = scale[sym.colind]      # (nnzb, bs)
+        return self._vals * srow[:, :, None] * scol[:, None, :]
+
+    def _fact_initial(self, base):
+        sym = self.symbolic
+        if self.fact_init == FactInit.SGS:
+            dinv = invert_diag_blocks(base[self.mat.diagind])
+            lowered = jnp.einsum("nij,njk->nik", base, dinv[sym.colind],
+                                 preferred_element_type=base.dtype)
+            return jnp.where(sym.is_lower[:, None, None], lowered, base)
+        return base
+
+    def _factor_sweep_fn(self, base):
+        sym = self.symbolic
+        diagind = self.mat.diagind
+
+        def sweep(ilu):
+            ext = extend_zero(ilu)
+            prod = jnp.einsum("npij,npjk->nik", ext[sym.lowerp], ext[sym.upperp],
+                              preferred_element_type=ilu.dtype)
+            s = base - prod
+            dinv = invert_diag_blocks(ilu[diagind])
+            lowered = jnp.einsum("nij,njk->nik", s, dinv[sym.colind],
+                                 preferred_element_type=ilu.dtype)
+            return jnp.where(sym.is_lower[:, None, None], lowered, s)
+
+        return sweep
+
+    def compute(self) -> PrecInfo:
+        self._ensure_symbolic()
+        sym = self.symbolic
+        scale = None
+        if self.use_scaling:
+            dblocks = self._vals[self.mat.diagind]
+            diag = jnp.diagonal(dblocks, axis1=-2, axis2=-1)  # (nbrows, bs)
+            scale = 1.0 / jnp.sqrt(diag)
+        base = self._scaled_vals(scale)
+
+        if self.state is not None and self.fact_init == FactInit.NONE:
+            ilu = self.state.ilu
+        else:
+            ilu = self._fact_initial(base)
+
+        sweep = self._factor_sweep_fn(base)
+        if self.nbuildsweeps == SEQUENTIAL:
+            rows = jnp.asarray(rows_of_nnz(np.asarray(self.mat.rowptr)))
+            lev_of_nnz = sym.fact_level[rows]
+
+            def body(it, x):
+                lev = it // sym.fact_inner
+                xn = sweep(x)
+                return jnp.where((lev_of_nnz == lev)[:, None, None], xn, x)
+
+            ilu = jax.lax.fori_loop(0, sym.nfact * sym.fact_inner, body, ilu)
+        else:
+            ilu = run_sweeps(self.nbuildsweeps, sweep, ilu)
+
+        self.state = _ILUState(
+            ilu=ilu,
+            ilu_pad=self.mat.repad_vals(ilu),
+            ilu_dinv=invert_diag_blocks(ilu[self.mat.diagind]),
+            scale=scale,
+        )
+        return PrecInfo()
+
+    def apply(self, r: jax.Array) -> jax.Array:
+        """r, z are (nbrows, bs) block segments
+        (reference: block_ilu0_apply, solverops_ilu0.cpp:55-148)."""
+        st, sym = self.state, self.symbolic
+        A = self.mat
+        z = st.scale * r if st.scale is not None else r
+
+        if self.napplysweeps == SEQUENTIAL:
+            y = exact_block_lower_solve(A, st.ilu_pad, z, sym.low_level, sym.nlow)
+            zout = exact_block_upper_solve(A, st.ilu_pad, st.ilu_dinv, y,
+                                           sym.up_level, sym.nup)
+        else:
+            y0 = jnp.zeros_like(z)
+            y = run_sweeps(self.napplysweeps,
+                           lambda y: block_unit_lower_sweep(A, st.ilu_pad, z, y),
+                           y0)
+            z0 = y if self.apply_init == ApplyInit.JACOBI else jnp.zeros_like(z)
+            zout = run_sweeps(self.napplysweeps,
+                              lambda zz: block_upper_solve_sweep(
+                                  A, st.ilu_pad, st.ilu_dinv, y, zz), z0)
+
+        return st.scale * zout if st.scale is not None else zout
+
+    def apply_relax(self, b, x):
+        raise NotImplementedError("ILU relaxation not implemented "
+                                  "(matches reference)")

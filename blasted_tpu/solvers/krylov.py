@@ -1,0 +1,231 @@
+"""Krylov solvers: Richardson, BiCGSTAB, GCR, CG — jittable.
+
+Equivalents of the reference's in-tree solvers (reference:
+tests/solvers.cpp:90-352, tests/solvers.hpp:78-126), promoted here to
+first-class library components.  Algorithms follow the reference line by line
+(same update order, same convergence checks, same iteration counting) so
+iteration-count parity tests carry over; control flow is ``lax.while_loop``
+with a bounded trip count, so an entire solve is one XLA computation with no
+host round-trips per iteration.
+
+All solvers are right-preconditioned and operate on flat vectors through two
+callables: ``amat(x)`` (the SpMV) and ``prec(r)`` (the preconditioner apply).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.blas1 import dot, norm2
+
+__all__ = ["SolveInfo", "richardson", "bicgstab", "gcr", "cg"]
+
+
+class SolveInfo(NamedTuple):
+    """(reference: tests/solvers.hpp SolveInfo — converged, iters, resnorm,
+    bnorm; walltime is measured by the caller.)"""
+
+    converged: jax.Array
+    iters: jax.Array
+    resnorm: jax.Array
+    bnorm: jax.Array
+
+
+def richardson(amat: Callable, prec: Callable, b: jax.Array, x0: jax.Array,
+               tol: float = 1e-6, maxiter: int = 500):
+    """Preconditioned Richardson iteration
+    (reference: tests/solvers.cpp RichardsonSolver::solve, :90-133)."""
+    bnorm = norm2(b)
+
+    def cond(c):
+        x, step, resnorm, done = c
+        return (step < maxiter) & ~done
+
+    def body(c):
+        x, step, _, _ = c
+        s = b - amat(x)
+        resnorm = norm2(s)
+        done = resnorm / bnorm < tol
+        dx = prec(s)
+        x = jnp.where(done, x, x + dx)
+        return x, step + jnp.where(done, 0, 1), resnorm, done
+
+    x, step, resnorm, done = jax.lax.while_loop(
+        cond, body, (x0, jnp.int32(0), bnorm, jnp.bool_(False)))
+    # recompute final residual for reporting
+    resnorm = norm2(b - amat(x))
+    return x, SolveInfo(converged=resnorm / bnorm < tol, iters=step,
+                        resnorm=resnorm, bnorm=bnorm)
+
+
+def bicgstab(amat: Callable, prec: Callable, b: jax.Array, x0: jax.Array,
+             tol: float = 1e-6, maxiter: int = 500):
+    """Right-preconditioned BiCGSTAB, same update sequence and iteration
+    count (iters = step+1) as the reference
+    (reference: tests/solvers.cpp BiCGSTAB::solve, :140-244)."""
+    bnorm = norm2(b)
+    r0 = b - amat(x0)
+    rhat = r0
+
+    class S(NamedTuple):
+        x: jax.Array
+        r: jax.Array
+        p: jax.Array
+        v: jax.Array
+        rhoold: jax.Array
+        alpha: jax.Array
+        omega: jax.Array
+        step: jax.Array
+        resnorm: jax.Array
+        done: jax.Array
+
+    dt = b.dtype
+    s0 = S(x0, r0, jnp.zeros_like(b), jnp.zeros_like(b),
+           jnp.ones((), dt), jnp.ones((), dt), jnp.ones((), dt),
+           jnp.int32(0), jnp.asarray(100.0, dt), jnp.bool_(False))
+
+    def cond(s):
+        return (s.step < maxiter) & ~s.done
+
+    def body(s):
+        rho = dot(rhat, s.r)
+        beta = rho * s.alpha / (s.rhoold * s.omega)
+        p = s.r + beta * s.p - beta * s.omega * s.v
+        y = prec(p)
+        v = amat(y)
+        alpha = rho / dot(rhat, v)
+        rs = s.r - alpha * v                      # 's' of the algorithm
+        z = prec(rs)
+        t = amat(z)
+        omega = dot(t, rs) / dot(t, t)
+        x = s.x + alpha * y + omega * z
+        r = rs - omega * t
+        resnorm = norm2(r)
+        done = resnorm / bnorm < tol
+        return S(x, r, p, v, rho, alpha, omega, s.step + 1, resnorm, done)
+
+    s = jax.lax.while_loop(cond, body, s0)
+    return s.x, SolveInfo(converged=s.resnorm / bnorm < tol,
+                          iters=s.step, resnorm=s.resnorm, bnorm=bnorm)
+
+
+def gcr(amat: Callable, prec: Callable, b: jax.Array, x0: jax.Array,
+        tol: float = 1e-6, maxiter: int = 500, nrestart: int = 30):
+    """Restarted GCR (≈ flexible GMRES), right-preconditioned
+    (reference: tests/solvers.cpp GCR::solve, :252-352).
+
+    The Krylov bases P, Q live as fixed-shape ``(nrestart, n)`` arrays;
+    orthogonalisation against directions ≤ k is a masked matmul — TPU-friendly
+    (the reference's 'optimize this with a multi-dot' comment, solvers.cpp:320,
+    is realised here: the β projections are a single matrix-vector product).
+    """
+    n = b.shape[0]
+    dt = b.dtype
+    bnorm = norm2(b)
+
+    class S(NamedTuple):
+        x: jax.Array
+        res: jax.Array
+        P: jax.Array
+        Q: jax.Array
+        k: jax.Array
+        step: jax.Array
+        resnorm: jax.Array
+        done: jax.Array
+
+    def restart(x):
+        res = b - amat(x)
+        p0 = prec(res)
+        q0 = amat(p0)
+        P = jnp.zeros((nrestart, n), dt).at[0].set(p0)
+        Q = jnp.zeros((nrestart, n), dt).at[0].set(q0)
+        return res, P, Q
+
+    res0, P0, Q0 = restart(x0)
+    s0 = S(x0, res0, P0, Q0, jnp.int32(0), jnp.int32(0),
+           norm2(res0), jnp.bool_(False))
+
+    def cond(s):
+        return (s.step < maxiter) & ~s.done
+
+    def body(s):
+        pk = s.P[s.k]
+        qk = s.Q[s.k]
+        alpha = dot(s.res, qk) / dot(qk, qk)
+        x = s.x + alpha * pk
+        res = s.res - alpha * qk
+        resnorm = norm2(res)
+        step = s.step + 1
+        done = resnorm / bnorm < tol
+
+        def extend(_):
+            z = prec(res)
+            qn = amat(z)
+            # β_l = −(q_new·q_l)/(q_l·q_l) for l ≤ k, masked matmul
+            qq = jnp.sum(s.Q * s.Q, axis=1)
+            mask = jnp.arange(nrestart) <= s.k
+            beta = jnp.where(mask, -(s.Q @ qn) / jnp.where(qq == 0, 1.0, qq), 0.0)
+            pn = z + beta @ s.P
+            qn = qn + beta @ s.Q
+            return (s.P.at[s.k + 1].set(pn), s.Q.at[s.k + 1].set(qn),
+                    s.k + 1)
+
+        def do_restart(_):
+            resn, Pn, Qn = restart(x)
+            return (Pn, Qn, jnp.int32(0))
+
+        at_end = (s.k == nrestart - 1) | done | (step >= maxiter)
+        P, Q, k = jax.lax.cond(at_end, do_restart, extend, None)
+        # after a restart the residual is recomputed from x
+        res = jnp.where(at_end & ~done, b - amat(x), res)
+        return S(x, res, P, Q, k, step, resnorm, done)
+
+    s = jax.lax.while_loop(cond, body, s0)
+    return s.x, SolveInfo(converged=s.resnorm / bnorm <= tol,
+                          iters=s.step, resnorm=s.resnorm, bnorm=bnorm)
+
+
+def cg(amat: Callable, prec: Callable, b: jax.Array, x0: jax.Array,
+       tol: float = 1e-6, maxiter: int = 500):
+    """Preconditioned conjugate gradients (SPD systems).  Not in the
+    reference's solver set but standard for its SPD fixtures (msc00726,
+    uniform-grid Poisson); included as a first-class solver."""
+    bnorm = norm2(b)
+    r0 = b - amat(x0)
+    z0 = prec(r0)
+
+    class S(NamedTuple):
+        x: jax.Array
+        r: jax.Array
+        z: jax.Array
+        p: jax.Array
+        rz: jax.Array
+        step: jax.Array
+        resnorm: jax.Array
+        done: jax.Array
+
+    s0 = S(x0, r0, z0, z0, dot(r0, z0), jnp.int32(0), norm2(r0),
+           jnp.bool_(False))
+
+    def cond(s):
+        return (s.step < maxiter) & ~s.done
+
+    def body(s):
+        ap = amat(s.p)
+        alpha = s.rz / dot(s.p, ap)
+        x = s.x + alpha * s.p
+        r = s.r - alpha * ap
+        resnorm = norm2(r)
+        done = resnorm / bnorm < tol
+        z = prec(r)
+        rz = dot(r, z)
+        p = z + (rz / s.rz) * s.p
+        return S(x, r, z, p, rz, s.step + 1, resnorm, done)
+
+    s = jax.lax.while_loop(cond, body, s0)
+    return s.x, SolveInfo(converged=s.resnorm / bnorm < tol,
+                          iters=s.step, resnorm=s.resnorm, bnorm=bnorm)

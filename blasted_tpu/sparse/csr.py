@@ -1,0 +1,211 @@
+"""Compressed-sparse-row storage, TPU-native.
+
+Re-expresses the reference's central storage type ``SRMatrixStorage``
+(reference: include/srmatrixdefs.hpp:37-79) as JAX pytrees:
+
+- :class:`CSRMatrix` — the canonical host/device CSR container
+  (``rowptr, colind, vals, diagind``), scalar entries.
+- :class:`PaddedCSR` — the *device compute form*: every row padded to a fixed
+  width ``W`` (ELL-style) with sentinel indices, so that SpMV and all sweep
+  kernels become a single ``(n, W)`` gather + FMA + masked reduction.  This is
+  the TPU answer to the reference's per-row OpenMP loops — static shapes,
+  no data-dependent control flow, full VPU/MXU utilisation.
+
+Sentinel convention: padded slots hold ``colind == nrows`` and ``pos == nnz``.
+Gathers go through arrays extended by one trailing zero, so padded slots
+contribute exactly 0 to every reduction without explicit masking of values.
+Triangular masks (lower/upper) are precomputed boolean ``(n, W)`` arrays,
+mirroring the reference's triangular row-pointer views
+(reference: include/srmatrixdefs.hpp:171-189, src/rawsrmatrixutils.cpp:120-247).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["CSRMatrix", "PaddedCSR", "gather_padded", "extend_zero"]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class CSRMatrix:
+    """Scalar CSR matrix with stored diagonal locations.
+
+    Equivalent of ``SRMatrixStorage<scalar,index>`` at block size 1
+    (reference: include/srmatrixdefs.hpp:37-79).  ``browendptr`` of the
+    reference (partial row views) is not stored; triangular views live on
+    :class:`PaddedCSR` masks instead.
+    """
+
+    rowptr: jax.Array   # (n+1,) int32
+    colind: jax.Array   # (nnz,)  int32, sorted within each row
+    vals: jax.Array     # (nnz,)  float
+    diagind: jax.Array  # (n,)    int32 — position of a_ii within vals
+
+    @property
+    def nrows(self) -> int:
+        return self.diagind.shape[0]
+
+    @property
+    def nnz(self) -> int:
+        return self.colind.shape[0]
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    # -- construction -------------------------------------------------------
+
+    @staticmethod
+    def from_arrays(rowptr, colind, vals, diagind=None) -> "CSRMatrix":
+        """Wrap raw CSR arrays; compute ``diagind`` if not given.
+
+        Mirrors the wrapping constructor of ``SRMatrixStorage``
+        (reference: src/rawsrmatrixutils.cpp:29-97).
+        """
+        rowptr = np.asarray(rowptr, dtype=np.int32)
+        colind = np.asarray(colind, dtype=np.int32)
+        vals = np.asarray(vals)
+        if diagind is None:
+            diagind = _compute_diagind(rowptr, colind)
+        else:
+            diagind = np.asarray(diagind, dtype=np.int32)
+        return CSRMatrix(
+            rowptr=jnp.asarray(rowptr),
+            colind=jnp.asarray(colind),
+            vals=jnp.asarray(vals),
+            diagind=jnp.asarray(diagind),
+        )
+
+    @staticmethod
+    def from_scipy(sp) -> "CSRMatrix":
+        sp = sp.tocsr()
+        sp.sort_indices()
+        return CSRMatrix.from_arrays(sp.indptr, sp.indices, sp.data)
+
+    def to_scipy(self):
+        import scipy.sparse as sps
+
+        return sps.csr_matrix(
+            (np.asarray(self.vals), np.asarray(self.colind), np.asarray(self.rowptr)),
+            shape=(self.nrows, self.nrows),
+        )
+
+    def with_vals(self, vals: jax.Array) -> "CSRMatrix":
+        """Same sparsity, new values — the reference's pattern of ILU factors
+        sharing the original matrix's index arrays (include/solverops_ilu0.hpp:74-78)."""
+        return CSRMatrix(self.rowptr, self.colind, vals, self.diagind)
+
+    def pad(self, width: int | None = None) -> "PaddedCSR":
+        return PaddedCSR.from_csr(self, width)
+
+
+def _compute_diagind(rowptr: np.ndarray, colind: np.ndarray) -> np.ndarray:
+    n = rowptr.shape[0] - 1
+    diagind = np.full(n, -1, dtype=np.int32)
+    for i in range(n):
+        row = colind[rowptr[i]:rowptr[i + 1]]
+        hits = np.nonzero(row == i)[0]
+        if hits.size == 0:
+            raise ValueError(f"Row {i} has no diagonal entry")
+        diagind[i] = rowptr[i] + hits[0]
+    return diagind
+
+
+def extend_zero(arr: jax.Array) -> jax.Array:
+    """Append one zero entry/block so sentinel gathers read 0."""
+    pad_shape = (1,) + arr.shape[1:]
+    return jnp.concatenate([arr, jnp.zeros(pad_shape, dtype=arr.dtype)], axis=0)
+
+
+def gather_padded(values: jax.Array, pos: jax.Array) -> jax.Array:
+    """Gather an nnz-indexed value array into padded ``(n, W, ...)`` form.
+
+    ``pos`` uses the sentinel ``nnz`` for padding; the value array is extended
+    by a zero so padded slots read 0.  Works for scalar ``(nnz,)`` and block
+    ``(nnz, bs, bs)`` value arrays alike.
+    """
+    return extend_zero(values)[pos]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class PaddedCSR:
+    """Fixed-row-width (ELL-style) device form of a CSR matrix.
+
+    The layout decision motivated in SURVEY.md §7 ("sparse-format padding
+    economics"): pad every row to the maximum row length ``W``; all kernels
+    become dense ``(n, W)`` operations.
+    """
+
+    pos: jax.Array         # (n, W) int32 — index into the nnz array, sentinel nnz
+    colind: jax.Array      # (n, W) int32 — column index, sentinel n
+    vals_pad: jax.Array    # (n, W) float — matrix values, 0 at padding
+    diag_vals: jax.Array   # (n,)  float  — a_ii
+    diagind: jax.Array     # (n,)  int32  — position of a_ii in the nnz array
+    lower_mask: jax.Array  # (n, W) bool  — strictly-lower entries
+    upper_mask: jax.Array  # (n, W) bool  — strictly-upper entries
+    rowptr: jax.Array      # (n+1,) int32 — kept for conversions back to CSR
+    nnz_total: jax.Array   # ()   int32  — number of stored nonzeros
+
+    @property
+    def nrows(self) -> int:
+        return self.pos.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.pos.shape[1]
+
+    @property
+    def dtype(self):
+        return self.vals_pad.dtype
+
+    @staticmethod
+    def from_csr(A: CSRMatrix, width: int | None = None) -> "PaddedCSR":
+        rowptr = np.asarray(A.rowptr)
+        colind = np.asarray(A.colind)
+        n = rowptr.shape[0] - 1
+        nnz = colind.shape[0]
+        rownnz = np.diff(rowptr)
+        W = int(rownnz.max()) if width is None else int(width)
+        if W < int(rownnz.max()):
+            raise ValueError(f"width {W} < max row nnz {rownnz.max()}")
+
+        pos = np.full((n, W), nnz, dtype=np.int32)
+        cols = np.full((n, W), n, dtype=np.int32)
+        # vectorised fill: slot j of row i is rowptr[i]+j where j < rownnz[i]
+        slot = np.arange(W)[None, :]
+        valid = slot < rownnz[:, None]
+        flat = rowptr[:-1][:, None] + slot
+        pos[valid] = flat[valid]
+        cols[valid] = colind[flat[valid]]
+
+        rows = np.arange(n)[:, None]
+        lower = (cols < rows) & valid
+        upper = (cols > rows) & valid
+
+        vals_pad = gather_padded(A.vals, jnp.asarray(pos))
+        diag_vals = A.vals[A.diagind]
+        return PaddedCSR(
+            pos=jnp.asarray(pos),
+            colind=jnp.asarray(cols),
+            vals_pad=vals_pad,
+            diag_vals=diag_vals,
+            diagind=A.diagind,
+            lower_mask=jnp.asarray(lower),
+            upper_mask=jnp.asarray(upper),
+            rowptr=A.rowptr,
+            nnz_total=jnp.int32(nnz),
+        )
+
+    def gather_x(self, x: jax.Array) -> jax.Array:
+        """Gather ``x[colind]`` in padded form; sentinel slots read 0."""
+        return extend_zero(x)[self.colind]
+
+    def repad_vals(self, vals: jax.Array) -> jax.Array:
+        """Pad a new nnz-value array (e.g. ILU factors) into ``(n, W)`` form."""
+        return gather_padded(vals, self.pos)
