@@ -13,7 +13,8 @@ its MPI/PETSc domain decomposition becomes mesh-sharded SpMV with ICI
 collectives around local (per-shard) preconditioners.
 """
 
-from . import config, ops, sparse
+from . import apps, config, ops, precond, solvers, sparse
+from .factory import create_preconditioner, create_preconditioner_from_string
 from .config import (
     SEQUENTIAL,
     ApplyInit,
@@ -37,7 +38,8 @@ from .sparse import (
 __version__ = "0.1.0"
 
 __all__ = [
-    "config", "ops", "sparse",
+    "apps", "config", "ops", "precond", "solvers", "sparse",
+    "create_preconditioner", "create_preconditioner_from_string",
     "SEQUENTIAL", "ApplyInit", "AsyncSolverSettings", "FactInit", "PrecType",
     "SolverSettings",
     "BSRMatrix", "COOMatrix", "CSRMatrix", "PaddedBSR", "PaddedCSR",

@@ -62,6 +62,74 @@ def csr_to_dense(A: CSRMatrix) -> np.ndarray:
     return A.to_scipy().toarray()
 
 
+def exact_ilu0_oracle(A: CSRMatrix) -> np.ndarray:
+    """Sequential IKJ ILU(0) on the CSR pattern — pure NumPy oracle matching
+    the reference's single-threaded factorization (sweeps = -1)."""
+    rowptr = np.asarray(A.rowptr)
+    colind = np.asarray(A.colind)
+    diagind = np.asarray(A.diagind)
+    ilu = np.array(np.asarray(A.vals), dtype=np.float64, copy=True)
+    n = A.nrows
+    for i in range(n):
+        for pk in range(rowptr[i], diagind[i]):
+            k = colind[pk]
+            ilu[pk] /= ilu[diagind[k]]
+            lik = ilu[pk]
+            rowk = colind[rowptr[k]:rowptr[k + 1]]
+            for pj in range(pk + 1, rowptr[i + 1]):
+                j = colind[pj]
+                hits = np.nonzero(rowk == j)[0]
+                if hits.size:
+                    p = rowptr[k] + hits[0]
+                    if p >= diagind[k]:
+                        ilu[pj] -= lik * ilu[p]
+    return ilu
+
+
+def exact_block_ilu0_oracle(B: BSRMatrix) -> np.ndarray:
+    """Sequential block IKJ ILU(0): l_ik = a_ik·inv(u_kk); a_ij −= l_ik·u_kj."""
+    rowptr = np.asarray(B.rowptr)
+    colind = np.asarray(B.colind)
+    diagind = np.asarray(B.diagind)
+    ilu = np.array(np.asarray(B.vals), dtype=np.float64, copy=True)
+    n = B.nbrows
+    for i in range(n):
+        for pk in range(rowptr[i], diagind[i]):
+            k = colind[pk]
+            ilu[pk] = ilu[pk] @ np.linalg.inv(ilu[diagind[k]])
+            lik = ilu[pk]
+            rowk = colind[rowptr[k]:rowptr[k + 1]]
+            for pj in range(pk + 1, rowptr[i + 1]):
+                j = colind[pj]
+                hits = np.nonzero(rowk == j)[0]
+                if hits.size:
+                    p = rowptr[k] + hits[0]
+                    if p >= diagind[k]:
+                        ilu[pj] -= lik @ ilu[p]
+    return ilu
+
+
+def ilu0_solve_oracle(A: CSRMatrix, iluvals: np.ndarray, r: np.ndarray) -> np.ndarray:
+    """Exact LU solve with unit-lower/upper factors stored in CSR layout."""
+    rowptr = np.asarray(A.rowptr)
+    colind = np.asarray(A.colind)
+    diagind = np.asarray(A.diagind)
+    n = A.nrows
+    y = np.zeros(n)
+    for i in range(n):
+        s = r[i]
+        for p in range(rowptr[i], diagind[i]):
+            s -= iluvals[p] * y[colind[p]]
+        y[i] = s
+    z = np.zeros(n)
+    for i in range(n - 1, -1, -1):
+        s = y[i]
+        for p in range(diagind[i] + 1, rowptr[i + 1]):
+            s -= iluvals[p] * z[colind[p]]
+        z[i] = s / iluvals[diagind[i]]
+    return z
+
+
 def small_coo():
     """Tiny hand-made matrix analogous to the reference's small_block3 fixtures."""
     row = np.array([0, 0, 1, 1, 1, 2, 2, 3], dtype=np.int32)
