@@ -1,0 +1,17 @@
+"""Multi-device distribution: row sharding, halo exchange, local precs."""
+
+from .dist import (
+    DistributedSolver,
+    LocalBlockPreconditioner,
+    dist_spmv,
+    make_mesh,
+    shard_dist_csr,
+    shard_vector,
+)
+from .partition import DistCSR, partition_csr
+
+__all__ = [
+    "DistributedSolver", "LocalBlockPreconditioner", "dist_spmv",
+    "make_mesh", "shard_dist_csr", "shard_vector",
+    "DistCSR", "partition_csr",
+]

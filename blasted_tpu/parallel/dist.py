@@ -1,0 +1,198 @@
+"""Distributed (multi-device) SpMV, local preconditioners, and solve drivers.
+
+TPU-native re-expression of the reference's MPI/PETSc domain decomposition
+(SURVEY.md §2.5 P8; reference: blasted_petsc.cpp:229-298):
+
+- rows are sharded over a 1-D ``Mesh`` axis ``"rows"`` (the analogue of the
+  PETSc row partition over ranks),
+- the distributed SpMV gathers off-shard x entries with collectives riding
+  ICI — either a tiled ``all_gather`` (general matrices) or a neighbour
+  ``ppermute`` halo exchange (banded matrices, the common FD/CFD case),
+- the *preconditioner is local*: each device applies a shard-local operator
+  to its diagonal block with zero communication inside the apply — exactly
+  the reference's block-Jacobi/ASM-with-local-BLASTed semantics,
+- Krylov dot products on row-sharded global arrays reduce with ``psum``
+  inserted by XLA (the solvers from :mod:`blasted_tpu.solvers` run unchanged).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..config import ApplyInit, AsyncSolverSettings, PrecType
+from ..factory import create_preconditioner
+from ..sparse.csr import CSRMatrix, PaddedCSR
+from .partition import DistCSR, partition_csr
+
+__all__ = ["make_mesh", "shard_vector", "dist_spmv", "LocalBlockPreconditioner",
+           "DistributedSolver"]
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.array(devices), ("rows",))
+
+
+def shard_vector(mesh: Mesh, x) -> jax.Array:
+    return jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("rows")))
+
+
+def shard_dist_csr(mesh: Mesh, dA: DistCSR) -> DistCSR:
+    """Place the partitioned matrix on the mesh: global row arrays sharded on
+    axis 0; stacked local blocks sharded on the shard axis."""
+    row2 = NamedSharding(mesh, P("rows", None))
+    dcol = jax.device_put(dA.colind, row2)
+    dval = jax.device_put(dA.vals_pad, row2)
+    local = jax.tree_util.tree_map(
+        lambda a: jax.device_put(
+            a, NamedSharding(mesh, P(*(("rows",) + (None,) * (a.ndim - 1))))),
+        dA.local)
+    return DistCSR(colind=dcol, vals_pad=dval, local=local, nshards=dA.nshards)
+
+
+def dist_spmv(mesh: Mesh, colind: jax.Array, vals_pad: jax.Array,
+              x: jax.Array) -> jax.Array:
+    """y = A x with row-sharded A and x.
+
+    Off-shard x entries are fetched with one tiled ``all_gather`` over the
+    ``rows`` axis (ICI); the local product is the standard padded
+    gather+FMA+reduce.  (The reference delegates the equivalent halo exchange
+    to PETSc's MatMult, SURVEY.md §2.5 P8.)
+    """
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P("rows", None), P("rows", None), P("rows")),
+             out_specs=P("rows"))
+    def f(ci, vp, xl):
+        xg = jax.lax.all_gather(xl, "rows", tiled=True)      # (n,)
+        xe = jnp.concatenate([xg, jnp.zeros(1, xg.dtype)])   # sentinel slot
+        return jnp.sum(vp * xe[ci], axis=1)
+
+    return f(colind, vals_pad, x)
+
+
+class LocalBlockPreconditioner:
+    """Shard-local preconditioner with global block-Jacobi semantics.
+
+    Setup builds one scalar preconditioner per shard on its diagonal block
+    (host loop — the analogue of each MPI rank building its own BLASTed
+    context, blasted_petsc.cpp:216-311) and stacks the apply states on a
+    leading shard axis.  ``apply`` runs under ``shard_map`` with **no
+    communication**: the defining property of the reference's local
+    preconditioner contract.
+    """
+
+    def __init__(self, mesh: Mesh, dA: DistCSR, settings: AsyncSolverSettings):
+        self.mesh = mesh
+        self.dA = dA
+        self.settings = settings
+        nshards = dA.nshards
+        # per-shard local PaddedCSR (slice the stacked pytree)
+        self._shard_precs = []
+        for d in range(nshards):
+            local_d = jax.tree_util.tree_map(lambda a: a[d], dA.local)
+            self._shard_precs.append(create_preconditioner(local_d, settings))
+
+    def compute(self):
+        states = []
+        for p in self._shard_precs:
+            p.compute()
+            states.append(p.apply_state())
+        # per-shard static level counts may differ; the template must loop to
+        # the max (extra masked levels are no-ops)
+        self._sym_patch = {}
+        syms = [getattr(p, "symbolic", None) for p in self._shard_precs]
+        if all(s is not None for s in syms) and syms:
+            self._sym_patch = {"nlow": max(s.nlow for s in syms),
+                               "nup": max(s.nup for s in syms)}
+        # stack state pytrees on the shard axis and shard them
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+        self._state = jax.tree_util.tree_map(
+            lambda a: jax.device_put(
+                a, NamedSharding(self.mesh,
+                                 P(*(("rows",) + (None,) * (a.ndim - 1))))),
+            stacked)
+        return self
+
+    def apply(self, r: jax.Array) -> jax.Array:
+        """r is the row-sharded global residual; returns z, same sharding."""
+        mesh = self.mesh
+        local = self.dA.local
+        state = self._state
+        p0 = self._shard_precs[0]
+
+        sym_patch = self._sym_patch
+
+        def local_apply(local_mat_sl, state_sl, rl):
+            # device-local slices arrive with a leading length-1 shard axis
+            mat = jax.tree_util.tree_map(lambda a: a[0], local_mat_sl)
+            st = jax.tree_util.tree_map(lambda a: a[0], state_sl)
+            # graft the local state onto a template instance; apply is pure
+            # in (mat, state, r) so tracing with substituted values is sound
+            q = type(p0).__new__(type(p0))
+            q.__dict__.update(p0.__dict__)
+            q.mat = mat
+            q.state = st
+            if sym_patch and getattr(q, "symbolic", None) is not None:
+                q.symbolic = q.symbolic._replace(**sym_patch)
+            return q.apply(rl)
+
+        specs_mat = jax.tree_util.tree_map(
+            lambda a: P(*(("rows",) + (None,) * (a.ndim - 1))), local)
+        specs_state = jax.tree_util.tree_map(
+            lambda a: P(*(("rows",) + (None,) * (a.ndim - 1))), state)
+
+        f = shard_map(local_apply, mesh=mesh,
+                      in_specs=(specs_mat, specs_state, P("rows")),
+                      out_specs=P("rows"))
+        return f(local, state, r)
+
+
+class DistributedSolver:
+    """Convenience driver: partition, place, precondition, solve.
+
+    The Krylov algorithms are the *same* jittable drivers as the single-chip
+    path (solvers/krylov.py); their dot products become global reductions
+    because the vectors are row-sharded global arrays (psum under the hood).
+    """
+
+    def __init__(self, A: CSRMatrix, mesh: Mesh,
+                 settings: AsyncSolverSettings | None = None):
+        self.mesh = mesh
+        nshards = mesh.devices.size
+        self.dA = shard_dist_csr(mesh, partition_csr(A, nshards))
+        self.settings = settings or AsyncSolverSettings(
+            prec_type=PrecType.JACOBI)
+        if self.settings.prec_type == PrecType.NONE:
+            self.prec = None
+        else:
+            self.prec = LocalBlockPreconditioner(
+                mesh, self.dA, self.settings).compute()
+
+    def amat(self, x: jax.Array) -> jax.Array:
+        return dist_spmv(self.mesh, self.dA.colind, self.dA.vals_pad, x)
+
+    def prec_apply(self, r: jax.Array) -> jax.Array:
+        return r if self.prec is None else self.prec.apply(r)
+
+    def solve(self, b, x0=None, method: str = "bicgstab", tol: float = 1e-8,
+              maxiter: int = 500, **kw):
+        from ..solvers import bicgstab, cg, gcr, richardson
+
+        solver = {"bicgstab": bicgstab, "cg": cg, "gcr": gcr,
+                  "richardson": richardson}[method]
+        b = shard_vector(self.mesh, b)
+        x0 = (shard_vector(self.mesh, x0) if x0 is not None
+              else jnp.zeros_like(b))
+        return solver(self.amat, self.prec_apply, b, x0,
+                      tol=tol, maxiter=maxiter, **kw)

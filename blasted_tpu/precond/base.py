@@ -74,6 +74,14 @@ class Preconditioner:
         """(reference: solverops_base.hpp setApplyParams)"""
         self.solveparams = params
 
+    def apply_state(self):
+        """The state pytree :meth:`apply` actually reads.  Must be
+        shape-uniform across shards of equal row count so per-shard states can
+        be stacked for distribution (parallel/dist.py); operators whose full
+        state contains shard-varying shapes (e.g. flat nnz arrays) override
+        this to drop them."""
+        return self.state
+
     # -- adapters -----------------------------------------------------------
 
     @property

@@ -85,6 +85,8 @@ class _ILUState(NamedTuple):
     ilu_pad: jax.Array    # row-padded factor values for the solves
     ilu_dinv: jax.Array   # 1/u_ii or inv(U_ii)
     scale: jax.Array | None
+    low_level: jax.Array  # (n,) wavefronts for the exact apply paths
+    up_level: jax.Array   # (n,)
 
 
 def _build_symbolic(P, bs_rows=None) -> _ILUSymbolic:
@@ -225,6 +227,8 @@ class ILU0Preconditioner(Preconditioner):
             ilu_pad=self.mat.repad_vals(ilu),
             ilu_dinv=1.0 / ilu[self.mat.diagind],
             scale=scale,
+            low_level=sym.low_level,
+            up_level=sym.up_level,
         )
         if self.compute_precinfo:
             info1 = self._nonlinear_res(base, ilu)
@@ -252,9 +256,9 @@ class ILU0Preconditioner(Preconditioner):
         z = st.scale * r if st.scale is not None else r
 
         if self.napplysweeps == SEQUENTIAL:
-            y = exact_lower_solve(A, st.ilu_pad, z, sym.low_level, sym.nlow)
+            y = exact_lower_solve(A, st.ilu_pad, z, st.low_level, sym.nlow)
             zout = exact_upper_solve(A, st.ilu_pad, st.ilu_dinv, y,
-                                     sym.up_level, sym.nup)
+                                     st.up_level, sym.nup)
         else:
             y0 = jnp.zeros_like(z)
             y = run_sweeps(self.napplysweeps,
@@ -265,6 +269,11 @@ class ILU0Preconditioner(Preconditioner):
                                                            st.ilu_dinv, y, zz), z0)
 
         return st.scale * zout if st.scale is not None else zout
+
+    def apply_state(self):
+        # the flat (nnz,) factor array varies in size across shards and is
+        # not read by apply(); drop it for stacking
+        return self.state._replace(ilu=jnp.zeros((0,), self.state.ilu.dtype))
 
     def apply_relax(self, b, x):
         raise NotImplementedError("ILU relaxation not implemented "
@@ -375,6 +384,8 @@ class BlockILU0Preconditioner(Preconditioner):
             ilu_pad=self.mat.repad_vals(ilu),
             ilu_dinv=invert_diag_blocks(ilu[self.mat.diagind]),
             scale=scale,
+            low_level=sym.low_level,
+            up_level=sym.up_level,
         )
         return PrecInfo()
 
@@ -386,9 +397,9 @@ class BlockILU0Preconditioner(Preconditioner):
         z = st.scale * r if st.scale is not None else r
 
         if self.napplysweeps == SEQUENTIAL:
-            y = exact_block_lower_solve(A, st.ilu_pad, z, sym.low_level, sym.nlow)
+            y = exact_block_lower_solve(A, st.ilu_pad, z, st.low_level, sym.nlow)
             zout = exact_block_upper_solve(A, st.ilu_pad, st.ilu_dinv, y,
-                                           sym.up_level, sym.nup)
+                                           st.up_level, sym.nup)
         else:
             y0 = jnp.zeros_like(z)
             y = run_sweeps(self.napplysweeps,
@@ -400,6 +411,11 @@ class BlockILU0Preconditioner(Preconditioner):
                                   A, st.ilu_pad, st.ilu_dinv, y, zz), z0)
 
         return st.scale * zout if st.scale is not None else zout
+
+    def apply_state(self):
+        bs = self.mat.bs
+        return self.state._replace(
+            ilu=jnp.zeros((0, bs, bs), self.state.ilu.dtype))
 
     def apply_relax(self, b, x):
         raise NotImplementedError("ILU relaxation not implemented "

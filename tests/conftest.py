@@ -45,7 +45,8 @@ if not _NEEDS_REEXEC:
     import jax
 
     jax.config.update("jax_enable_x64", True)
-    if jax.default_backend() == "cpu":
+    # must be set before any backend query initialises the CPU client
+    if os.environ.get("JAX_PLATFORMS", "cpu") == "cpu":
         try:
             jax.config.update("jax_num_cpu_devices", 8)
         except Exception:
