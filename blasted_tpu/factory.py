@@ -32,12 +32,23 @@ from .precond import (
 )
 from .sparse.bsr import BSRMatrix, PaddedBSR
 from .sparse.csr import CSRMatrix, PaddedCSR
+from .sparse.dia import DiaMatrix, try_dia_from_csr
 
 
 def _padded(mat):
     if isinstance(mat, (CSRMatrix, BSRMatrix)):
         return mat.pad()
     return mat
+
+
+def to_device_matrix(mat, prefer_dia: bool = True):
+    """Pick the best device storage format: DIA for banded matrices (the
+    gather-free fast path, sparse/dia.py), padded CSR/BSR otherwise."""
+    if prefer_dia and isinstance(mat, CSRMatrix):
+        d = try_dia_from_csr(mat)
+        if d is not None:
+            return d
+    return _padded(mat)
 
 
 def create_preconditioner(mat, settings: SolverSettings) -> Preconditioner:
@@ -84,6 +95,12 @@ def create_preconditioner(mat, settings: SolverSettings) -> Preconditioner:
                 P, nbuildsweeps=nbuild, napplysweeps=napply,
                 use_scaling=s.use_symmetric_scaling,
                 fact_init=s.fact_init, apply_init=s.apply_init)
+        if isinstance(P, DiaMatrix):
+            from .precond.dia_ilu0 import DiaILU0Preconditioner
+            return DiaILU0Preconditioner(
+                P, nbuildsweeps=nbuild, napplysweeps=napply,
+                use_scaling=s.use_symmetric_scaling,
+                fact_init=s.fact_init, apply_init=s.apply_init)
         return ILU0Preconditioner(
             P, nbuildsweeps=nbuild, napplysweeps=napply,
             use_scaling=s.use_symmetric_scaling,
@@ -92,6 +109,9 @@ def create_preconditioner(mat, settings: SolverSettings) -> Preconditioner:
 
     if t in (PrecType.SAI, PrecType.ISAI):
         from .precond.sai import SAIPreconditioner
+        if isinstance(P, DiaMatrix):
+            raise ValueError("SAI requires padded-CSR storage; convert with "
+                             "to_device_matrix(mat, prefer_dia=False)")
         return SAIPreconditioner(P, incomplete=(t == PrecType.ISAI))
 
     raise ValueError(f"Unknown preconditioner type: {t}")

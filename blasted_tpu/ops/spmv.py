@@ -20,8 +20,14 @@ from ..sparse.csr import PaddedCSR
 __all__ = ["spmv", "gemv3", "bspmv", "bgemv3", "block_matvec"]
 
 
-def spmv(A: PaddedCSR, x: jax.Array) -> jax.Array:
-    """y = A x for scalar CSR (reference: matvecs.cpp csr_matrix_apply, :24-47)."""
+def spmv(A, x: jax.Array) -> jax.Array:
+    """y = A x (reference: matvecs.cpp csr_matrix_apply, :24-47).
+
+    Format-dispatched: padded CSR (gather+reduce) or DIA (shifted FMAs)."""
+    from ..sparse.dia import DiaMatrix
+    if isinstance(A, DiaMatrix):
+        from .dia import dia_spmv
+        return dia_spmv(A, x)
     xg = A.gather_x(x)                       # (n, W); sentinel slots read 0
     return jnp.sum(A.vals_pad * xg, axis=1)
 

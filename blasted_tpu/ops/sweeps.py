@@ -38,14 +38,25 @@ def _masked(vals_pad: jax.Array, mask: jax.Array) -> jax.Array:
     return jnp.where(mask, vals_pad, jnp.zeros((), vals_pad.dtype))
 
 
-def lower_mv(A: PaddedCSR, vals_pad: jax.Array, x: jax.Array) -> jax.Array:
-    """(L x)_i over the strictly-lower entries of the given value layout."""
+def lower_mv(A, vals_pad: jax.Array, x: jax.Array) -> jax.Array:
+    """(L x)_i over the strictly-lower entries of the given value layout.
+
+    Dispatches on the storage format: padded CSR uses a masked gather;
+    DIA uses shifted FMAs over the negative-offset diagonals (no gathers)."""
+    from ..sparse.dia import DiaMatrix
+    if isinstance(A, DiaMatrix):
+        from .dia import dia_lower_mv
+        return dia_lower_mv(A, vals_pad, x)
     xg = A.gather_x(x)
     return jnp.sum(_masked(vals_pad, A.lower_mask) * xg, axis=1)
 
 
-def upper_mv(A: PaddedCSR, vals_pad: jax.Array, x: jax.Array) -> jax.Array:
-    """(U x)_i over the strictly-upper entries."""
+def upper_mv(A, vals_pad: jax.Array, x: jax.Array) -> jax.Array:
+    """(U x)_i over the strictly-upper entries (format-dispatched)."""
+    from ..sparse.dia import DiaMatrix
+    if isinstance(A, DiaMatrix):
+        from .dia import dia_upper_mv
+        return dia_upper_mv(A, vals_pad, x)
     xg = A.gather_x(x)
     return jnp.sum(_masked(vals_pad, A.upper_mask) * xg, axis=1)
 

@@ -1,0 +1,197 @@
+"""Fixed-point ILU(0) on DIA (diagonal) storage — gather-free.
+
+Same mathematics as precond/ilu0.py (the Chow–Patel fixed point of
+kernels_ilu0_factorize.hpp, see that module's docstring), specialised to
+banded matrices: the symbolic pair lists collapse to a *static* list of
+diagonal pairs per target diagonal,
+
+    pairs(o) = {(o1, o2) : o1 < 0, o2 = o − o1 > 0, both stored},
+
+because l_ik lies on diagonal o1 = k−i and u_kc on o2 = c−k = o − o1.  One
+factorization sweep is then, per diagonal o,
+
+    ilu_o[i] ← â_o[i] − Σ_{(o1,o2)} ilu_o1[i] · ilu_o2[i+o1]
+    ilu_o[i] ← ilu_o[i] / ilu_0[i+o]           (lower diagonals, o<0)
+    ilu_o[i] ← 0 outside the structural mask   (pattern parity with CSR)
+
+— purely shifted elementwise arithmetic, no gathers or scatters anywhere in
+factorization or application.  The structural mask keeps band-fill positions
+out of the pattern so the result is bit-identical (in exact arithmetic) to
+the CSR-pattern ILU(0).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SEQUENTIAL, ApplyInit, FactInit
+from ..ops.sweeps import run_sweeps, unit_lower_sweep, upper_solve_sweep
+from ..sparse.dia import DiaMatrix, shift_read
+from .base import Preconditioner, PrecInfo
+from .ilu0 import _ILUState  # noqa: F401  (shared state shape family)
+from .levels import (
+    compute_levels_lower,
+    compute_levels_upper,
+    exact_lower_solve,
+    exact_upper_solve,
+)
+
+__all__ = ["DiaILU0Preconditioner"]
+
+
+class _DiaILUState(NamedTuple):
+    ilu: jax.Array       # (k, n) factor values in DIA layout
+    ilu_dinv: jax.Array  # (n,) 1/u_ii (guarded)
+    scale: jax.Array | None
+    low_level: jax.Array
+    up_level: jax.Array
+
+
+class DiaILU0Preconditioner(Preconditioner):
+    """Scalar fixed-point ILU(0) on DIA storage (banded fast path)."""
+
+    def __init__(self, mat: DiaMatrix, nbuildsweeps: int = 1,
+                 napplysweeps: int = 1, use_scaling: bool = False,
+                 fact_init: FactInit = FactInit.ORIGINAL,
+                 apply_init: ApplyInit = ApplyInit.ZERO):
+        super().__init__(mat)
+        self.nbuildsweeps = nbuildsweeps
+        self.napplysweeps = napplysweeps
+        self.use_scaling = use_scaling
+        self.fact_init = fact_init
+        self.apply_init = apply_init
+        offs = mat.offsets
+        self._d0 = offs.index(0)
+        # static diagonal-pair lists per target diagonal
+        oset = {o: d for d, o in enumerate(offs)}
+        self._pairs = [
+            [(oset[o1], oset[o - o1], o1)
+             for o1 in offs if o1 < 0 and (o - o1) in oset and (o - o1) > 0]
+            for o in offs
+        ]
+        self._levels = None
+
+    # -- helpers ------------------------------------------------------------
+
+    def _build_levels(self):
+        if self._levels is None:
+            sp = self.mat.to_scipy()
+            low = compute_levels_lower(sp.indptr, sp.indices)
+            up = compute_levels_upper(sp.indptr, sp.indices)
+            nlow_inner = sum(1 for o in self.mat.offsets if o < 0) + 1
+            self._levels = (jnp.asarray(low), int(low.max()) + 1,
+                            jnp.asarray(up), int(up.max()) + 1, nlow_inner)
+        return self._levels
+
+    def _scaled_base(self, scale):
+        A = self.mat
+        if scale is None:
+            return A.data
+        rows = []
+        for d, o in enumerate(A.offsets):
+            rows.append(A.data[d] * scale * shift_read(scale, o))
+        return jnp.stack(rows)
+
+    def _fact_initial(self, base):
+        A = self.mat
+        if self.fact_init == FactInit.SGS:
+            d0 = base[self._d0]
+            rows = []
+            for d, o in enumerate(A.offsets):
+                if o < 0:
+                    den = shift_read(d0, o)
+                    rows.append(jnp.where(A.mask[d],
+                                          base[d] / jnp.where(den == 0, 1.0, den),
+                                          0.0))
+                else:
+                    rows.append(base[d])
+            return jnp.stack(rows)
+        return base
+
+    def _factor_sweep_fn(self, base):
+        A = self.mat
+        pairs = self._pairs
+        d0 = self._d0
+
+        def sweep(ilu):
+            udiag = ilu[d0]
+            rows = []
+            for d, o in enumerate(A.offsets):
+                s = base[d]
+                for (dl, du, o1) in pairs[d]:
+                    s = s - ilu[dl] * shift_read(ilu[du], o1)
+                if o < 0:
+                    den = shift_read(udiag, o)
+                    s = s / jnp.where(den == 0, 1.0, den)
+                rows.append(jnp.where(A.mask[d], s, 0.0))
+            return jnp.stack(rows)
+
+        return sweep
+
+    # -- compute / apply ----------------------------------------------------
+
+    def compute(self) -> PrecInfo:
+        A = self.mat
+        low, nlow, up, nup, fact_inner = self._build_levels()
+        scale = None
+        if self.use_scaling:
+            scale = 1.0 / jnp.sqrt(A.diag_vals)
+        base = self._scaled_base(scale)
+
+        if self.state is not None and self.fact_init == FactInit.NONE:
+            ilu = self.state.ilu
+        else:
+            ilu = self._fact_initial(base)
+
+        sweep = self._factor_sweep_fn(base)
+        if self.nbuildsweeps == SEQUENTIAL:
+            lev = low  # factorization wavefronts == lower-solve wavefronts
+
+            def body(it, x):
+                l = it // fact_inner
+                xn = sweep(x)
+                return jnp.where((lev == l)[None, :], xn, x)
+
+            ilu = jax.lax.fori_loop(0, nlow * fact_inner, body, ilu)
+        else:
+            ilu = run_sweeps(self.nbuildsweeps, sweep, ilu)
+
+        udiag = ilu[self._d0]
+        self.state = _DiaILUState(
+            ilu=ilu,
+            ilu_dinv=1.0 / udiag,
+            scale=scale,
+            low_level=low,
+            up_level=up,
+        )
+        return PrecInfo()
+
+    def apply(self, r: jax.Array) -> jax.Array:
+        st = self.state
+        A = self.mat
+        _, nlow, _, nup, _ = self._build_levels()
+        z = st.scale * r if st.scale is not None else r
+
+        if self.napplysweeps == SEQUENTIAL:
+            y = exact_lower_solve(A, st.ilu, z, st.low_level, nlow)
+            zout = exact_upper_solve(A, st.ilu, st.ilu_dinv, y,
+                                     st.up_level, nup)
+        else:
+            y0 = jnp.zeros_like(z)
+            y = run_sweeps(self.napplysweeps,
+                           lambda y: unit_lower_sweep(A, st.ilu, z, y), y0)
+            z0 = y if self.apply_init == ApplyInit.JACOBI else jnp.zeros_like(z)
+            zout = run_sweeps(self.napplysweeps,
+                              lambda zz: upper_solve_sweep(A, st.ilu,
+                                                           st.ilu_dinv, y, zz),
+                              z0)
+
+        return st.scale * zout if st.scale is not None else zout
+
+    def apply_relax(self, b, x):
+        raise NotImplementedError("ILU relaxation not implemented "
+                                  "(matches reference)")

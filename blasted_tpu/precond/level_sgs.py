@@ -48,13 +48,19 @@ class _LevelState(NamedTuple):
 
 def _build_levels(P):
     """Reconstruct flat colind and compute both wavefront orderings (host)."""
-    rowptr = np.asarray(P.rowptr)
-    nnz = int(np.asarray(P.nnz_total))
-    pos = np.asarray(P.pos)
-    cols = np.asarray(P.colind)
-    colind = np.zeros(nnz, dtype=np.int32)
-    valid = pos < nnz
-    colind[pos[valid]] = cols[valid]
+    from ..sparse.dia import DiaMatrix
+
+    if isinstance(P, DiaMatrix):
+        sp = P.to_scipy()
+        rowptr, colind = sp.indptr, sp.indices
+    else:
+        rowptr = np.asarray(P.rowptr)
+        nnz = int(np.asarray(P.nnz_total))
+        pos = np.asarray(P.pos)
+        cols = np.asarray(P.colind)
+        colind = np.zeros(nnz, dtype=np.int32)
+        valid = pos < nnz
+        colind[pos[valid]] = cols[valid]
     low = compute_levels_lower(rowptr, colind)
     up = compute_levels_upper(rowptr, colind)
     return jnp.asarray(low), int(low.max()) + 1, jnp.asarray(up), int(up.max()) + 1

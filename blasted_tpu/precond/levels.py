@@ -12,6 +12,8 @@ arithmetic — this is the in-repo oracle replacing the reference's
 
 Level assignment is longest-path depth over the strictly-triangular
 dependency pattern (host-side); rows in a level are mutually independent.
+The per-level update bodies are the format-dispatched sweep kernels from
+ops/sweeps.py, so the exact paths work for padded-CSR and DIA storage alike.
 """
 
 from __future__ import annotations
@@ -20,13 +22,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.spmv import block_matvec
-from ..ops.sweeps import _bmasked, _masked
-from ..sparse.bsr import PaddedBSR
-from ..sparse.csr import PaddedCSR
+from ..ops.sweeps import (
+    bgs_sweep,
+    block_bgs_sweep,
+    block_fgs_sweep,
+    block_unit_lower_sweep,
+    block_upper_solve_sweep,
+    fgs_sweep,
+    unit_lower_sweep,
+    upper_solve_sweep,
+)
 
 __all__ = [
-    "compute_levels_lower", "compute_levels_upper",
+    "compute_levels_lower", "compute_levels_upper", "level_loop",
     "exact_lower_solve", "exact_upper_solve",
     "exact_block_lower_solve", "exact_block_upper_solve",
     "exact_fgs", "exact_bgs", "exact_block_fgs", "exact_block_bgs",
@@ -64,7 +72,7 @@ def compute_levels_upper(rowptr, colind) -> np.ndarray:
     return level
 
 
-def _level_loop(nlevels: int, level_of_row: jax.Array, update_fn, x0: jax.Array):
+def level_loop(nlevels: int, level_of_row: jax.Array, update_fn, x0: jax.Array):
     """Run ``update_fn`` once per level, committing only that level's rows."""
 
     def body(lev, x):
@@ -79,88 +87,51 @@ def _level_loop(nlevels: int, level_of_row: jax.Array, update_fn, x0: jax.Array)
 
 # ------------------------------------------------------------- triangular ----
 
-def exact_lower_solve(A: PaddedCSR, vals_pad: jax.Array, z: jax.Array,
-                      levels: jax.Array, nlevels: int) -> jax.Array:
+def exact_lower_solve(A, vals, z, levels, nlevels: int) -> jax.Array:
     """Exact unit-lower solve L y = z by wavefronts
     (reference sequential path: solverops_ilu0.cpp:274-283 with 1 thread)."""
-
-    def upd(y):
-        gy = A.gather_x(y)
-        return z - jnp.sum(_masked(vals_pad, A.lower_mask) * gy, axis=1)
-
-    return _level_loop(nlevels, levels, upd, jnp.zeros_like(z))
+    return level_loop(nlevels, levels,
+                      lambda y: unit_lower_sweep(A, vals, z, y),
+                      jnp.zeros_like(z))
 
 
-def exact_upper_solve(A: PaddedCSR, vals_pad: jax.Array, dinv: jax.Array,
-                      y: jax.Array, levels: jax.Array, nlevels: int) -> jax.Array:
+def exact_upper_solve(A, vals, dinv, y, levels, nlevels: int) -> jax.Array:
     """Exact upper solve U z = y (non-unit diag given pre-inverted)."""
-
-    def upd(z):
-        gz = A.gather_x(z)
-        return dinv * (y - jnp.sum(_masked(vals_pad, A.upper_mask) * gz, axis=1))
-
-    return _level_loop(nlevels, levels, upd, jnp.zeros_like(y))
+    return level_loop(nlevels, levels,
+                      lambda z: upper_solve_sweep(A, vals, dinv, y, z),
+                      jnp.zeros_like(y))
 
 
-def exact_block_lower_solve(A: PaddedBSR, vals_pad: jax.Array, z: jax.Array,
-                            levels: jax.Array, nlevels: int) -> jax.Array:
-    def upd(y):
-        gy = A.gather_x(y)
-        return z - block_matvec(_bmasked(vals_pad, A.lower_mask), gy)
-
-    return _level_loop(nlevels, levels, upd, jnp.zeros_like(z))
+def exact_block_lower_solve(A, vals, z, levels, nlevels: int) -> jax.Array:
+    return level_loop(nlevels, levels,
+                      lambda y: block_unit_lower_sweep(A, vals, z, y),
+                      jnp.zeros_like(z))
 
 
-def exact_block_upper_solve(A: PaddedBSR, vals_pad: jax.Array, dinv: jax.Array,
-                            y: jax.Array, levels: jax.Array, nlevels: int) -> jax.Array:
-    def upd(z):
-        gz = A.gather_x(z)
-        s = y - block_matvec(_bmasked(vals_pad, A.upper_mask), gz)
-        return jnp.einsum("rij,rj->ri", dinv, s, preferred_element_type=s.dtype)
-
-    return _level_loop(nlevels, levels, upd, jnp.zeros_like(y))
+def exact_block_upper_solve(A, vals, dinv, y, levels, nlevels: int) -> jax.Array:
+    return level_loop(nlevels, levels,
+                      lambda z: block_upper_solve_sweep(A, vals, dinv, y, z),
+                      jnp.zeros_like(y))
 
 
 # -------------------------------------------------------------------- GS ----
 
-def exact_fgs(A: PaddedCSR, dinv: jax.Array, r: jax.Array, y0: jax.Array,
-              levels: jax.Array, nlevels: int) -> jax.Array:
+def exact_fgs(A, dinv, r, y0, levels, nlevels: int) -> jax.Array:
     """One exact forward GS sweep: y_i = D⁻¹(r − L y)_i in dependency order
     (reference: solverops_levels_sgs.cpp:67-86)."""
-
-    def upd(y):
-        gy = A.gather_x(y)
-        return dinv * (r - jnp.sum(_masked(A.vals_pad, A.lower_mask) * gy, axis=1))
-
-    return _level_loop(nlevels, levels, upd, y0)
+    return level_loop(nlevels, levels, lambda y: fgs_sweep(A, dinv, r, y), y0)
 
 
-def exact_bgs(A: PaddedCSR, dinv: jax.Array, y: jax.Array, z0: jax.Array,
-              levels: jax.Array, nlevels: int) -> jax.Array:
+def exact_bgs(A, dinv, y, z0, levels, nlevels: int) -> jax.Array:
     """One exact backward sweep: z_i = y_i − D⁻¹(U z)_i in reverse order."""
-
-    def upd(z):
-        gz = A.gather_x(z)
-        return y - dinv * jnp.sum(_masked(A.vals_pad, A.upper_mask) * gz, axis=1)
-
-    return _level_loop(nlevels, levels, upd, z0)
+    return level_loop(nlevels, levels, lambda z: bgs_sweep(A, dinv, y, z), z0)
 
 
-def exact_block_fgs(A: PaddedBSR, dinv: jax.Array, r: jax.Array, y0: jax.Array,
-                    levels: jax.Array, nlevels: int) -> jax.Array:
-    def upd(y):
-        gy = A.gather_x(y)
-        s = r - block_matvec(_bmasked(A.vals_pad, A.lower_mask), gy)
-        return jnp.einsum("rij,rj->ri", dinv, s, preferred_element_type=s.dtype)
-
-    return _level_loop(nlevels, levels, upd, y0)
+def exact_block_fgs(A, dinv, r, y0, levels, nlevels: int) -> jax.Array:
+    return level_loop(nlevels, levels,
+                      lambda y: block_fgs_sweep(A, dinv, r, y), y0)
 
 
-def exact_block_bgs(A: PaddedBSR, dinv: jax.Array, y: jax.Array, z0: jax.Array,
-                    levels: jax.Array, nlevels: int) -> jax.Array:
-    def upd(z):
-        gz = A.gather_x(z)
-        s = block_matvec(_bmasked(A.vals_pad, A.upper_mask), gz)
-        return y - jnp.einsum("rij,rj->ri", dinv, s, preferred_element_type=s.dtype)
-
-    return _level_loop(nlevels, levels, upd, z0)
+def exact_block_bgs(A, dinv, y, z0, levels, nlevels: int) -> jax.Array:
+    return level_loop(nlevels, levels,
+                      lambda z: block_bgs_sweep(A, dinv, y, z), z0)
