@@ -231,9 +231,16 @@ class ILU0Preconditioner(Preconditioner):
             up_level=sym.up_level,
         )
         if self.compute_precinfo:
+            from .diagnostics import diagonal_dominance
             info1 = self._nonlinear_res(base, ilu)
+            ldd_avg, ldd_min, udd_avg, udd_min = diagonal_dominance(
+                self.mat, self.state.ilu_pad)
             return PrecInfo(prec_rem_initial_norm=info0,
-                            prec_remainder_norm=info1)
+                            prec_remainder_norm=info1,
+                            lower_avg_diag_dom=ldd_avg,
+                            lower_min_diag_dom=ldd_min,
+                            upper_avg_diag_dom=udd_avg,
+                            upper_min_diag_dom=udd_min)
         return PrecInfo()
 
     def _nonlinear_res(self, base, ilu):

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..ops.blas1 import dot, norm2
 
-__all__ = ["SolveInfo", "richardson", "bicgstab", "gcr", "cg"]
+__all__ = ["SolveInfo", "richardson", "bicgstab", "gcr", "cg", "gmres"]
 
 
 class SolveInfo(NamedTuple):
@@ -187,6 +187,119 @@ def gcr(amat: Callable, prec: Callable, b: jax.Array, x0: jax.Array,
     s = jax.lax.while_loop(cond, body, s0)
     return s.x, SolveInfo(converged=s.resnorm / bnorm <= tol,
                           iters=s.step, resnorm=s.resnorm, bnorm=bnorm)
+
+
+def gmres(amat: Callable, prec: Callable, b: jax.Array, x0: jax.Array,
+          tol: float = 1e-6, maxiter: int = 500, nrestart: int = 30):
+    """Restarted GMRES(m), right-preconditioned, with Givens rotations.
+
+    Not in the reference's in-tree solver set (its GCR plays the flexible-
+    GMRES role, tests/solvers.cpp:247-352) but named as the Krylov driver in
+    the performance baseline (BASELINE.json); standard Saad formulation.
+    The Arnoldi basis is a fixed-shape (m+1, n) array; one restart cycle is a
+    single ``fori_loop`` with masked updates past convergence.
+    """
+    n = b.shape[0]
+    m = nrestart
+    dt = b.dtype
+    bnorm = norm2(b)
+    eps = jnp.asarray(1e-30, dt)
+
+    class Outer(NamedTuple):
+        x: jax.Array
+        step: jax.Array
+        resnorm: jax.Array
+        done: jax.Array
+
+    def arnoldi_cycle(x):
+        r = b - amat(x)
+        beta = norm2(r)
+
+        V = jnp.zeros((m + 1, n), dt).at[0].set(r / jnp.maximum(beta, eps))
+        H = jnp.zeros((m + 1, m), dt)
+        cs = jnp.zeros((m,), dt)
+        sn = jnp.zeros((m,), dt)
+        g = jnp.zeros((m + 1,), dt).at[0].set(beta)
+
+        class Inner(NamedTuple):
+            V: jax.Array
+            H: jax.Array
+            cs: jax.Array
+            sn: jax.Array
+            g: jax.Array
+            k: jax.Array       # columns actually built
+            done: jax.Array
+
+        def body(j, s):
+            # masked no-op once converged within the cycle
+            def live(s):
+                w = amat(prec(s.V[j]))
+                # modified Gram-Schmidt against all basis vectors (masked > j)
+                mask = (jnp.arange(m + 1) <= j)[:, None]
+                h = jnp.sum(jnp.where(mask, s.V, 0.0) * w[None, :], axis=1)
+                w = w - h @ jnp.where(mask, s.V, 0.0)
+                hnext = norm2(w)
+                V = s.V.at[j + 1].set(w / jnp.maximum(hnext, eps))
+                # apply previous Givens rotations to the new column
+                def rot(i, hc):
+                    hi = s.cs[i] * hc[i] + s.sn[i] * hc[i + 1]
+                    hip = -s.sn[i] * hc[i] + s.cs[i] * hc[i + 1]
+                    return hc.at[i].set(hi).at[i + 1].set(hip)
+
+                hcol = jnp.zeros((m + 1,), dt)
+                hcol = jax.lax.fori_loop(
+                    0, m + 1,
+                    lambda i, hc: hc.at[i].set(jnp.where(i <= j, h[i], 0.0)),
+                    hcol)
+                hcol = hcol.at[j + 1].set(hnext)
+                hcol = jax.lax.fori_loop(0, j, rot, hcol)
+                # new rotation annihilating hcol[j+1]
+                denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
+                c = hcol[j] / jnp.maximum(denom, eps)
+                sgn = hcol[j + 1] / jnp.maximum(denom, eps)
+                hj = c * hcol[j] + sgn * hcol[j + 1]
+                hcol = hcol.at[j].set(hj).at[j + 1].set(0.0)
+                g1 = s.g.at[j + 1].set(-sgn * s.g[j]).at[j].set(c * s.g[j])
+                H = s.H.at[:, j].set(hcol)
+                res = jnp.abs(g1[j + 1])
+                done = res / bnorm < tol
+                return Inner(V, H, s.cs.at[j].set(c), s.sn.at[j].set(sgn),
+                             g1, s.k + 1, done)
+
+            return jax.lax.cond(s.done, lambda s: s, live, s)
+
+        s = jax.lax.fori_loop(
+            0, m, body, Inner(V, H, cs, sn, g, jnp.int32(0), jnp.bool_(False)))
+
+        # back-substitution on the k×k upper-triangular H (masked for k<m)
+        k = s.k
+        y = jnp.zeros((m,), dt)
+
+        def back(i_rev, y):
+            i = k - 1 - i_rev
+            num = s.g[i] - jnp.sum(s.H[i, :] * y)
+            yi = num / jnp.where(s.H[i, i] == 0, 1.0, s.H[i, i])
+            return jnp.where(i >= 0, y.at[i].set(yi), y)
+
+        y = jax.lax.fori_loop(0, m, lambda i_rev, y:
+                              jax.lax.cond(i_rev < k, lambda yy: back(i_rev, yy),
+                                           lambda yy: yy, y), y)
+        dx = prec(y @ s.V[:m])
+        return x + dx, k, jnp.abs(s.g[k])
+
+    def cond(o):
+        return (o.step < maxiter) & ~o.done
+
+    def body(o):
+        x, k, res = arnoldi_cycle(o.x)
+        return Outer(x, o.step + k, res, res / bnorm < tol)
+
+    r0 = norm2(b - amat(x0))
+    o = jax.lax.while_loop(
+        cond, body, Outer(x0, jnp.int32(0), r0, r0 / bnorm < tol))
+    resnorm = norm2(b - amat(o.x))
+    return o.x, SolveInfo(converged=resnorm / bnorm < tol * 1.01,
+                          iters=o.step, resnorm=resnorm, bnorm=bnorm)
 
 
 def cg(amat: Callable, prec: Callable, b: jax.Array, x0: jax.Array,

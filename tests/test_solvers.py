@@ -186,3 +186,36 @@ def test_jitted_full_solve():
     assert bool(info.converged)
     err = np.abs(np.asarray(x) - xref).max() / np.abs(xref).max()
     assert err < 1e-6
+
+
+def test_gmres_poisson():
+    A, P, b, xref = _solve_setup()
+    prec = create_preconditioner(
+        P, AsyncSolverSettings(prec_type=PrecType.ILU0,
+                               nbuildsweeps=3, napplysweeps=3))
+    prec.compute()
+    from blasted_tpu.solvers import gmres
+    x, info = gmres(_amat(P), prec.apply_flat, b, jnp.zeros_like(b),
+                    tol=1e-10, maxiter=500, nrestart=25)
+    assert bool(info.converged)
+    err = np.abs(np.asarray(x) - xref).max() / np.abs(xref).max()
+    assert err < 1e-6
+
+
+def test_gmres_matches_scipy_iterations_unpreconditioned():
+    """GMRES iteration count within a few of scipy's gmres on the same system
+    (same restart) — algorithmic parity check."""
+    import scipy.sparse.linalg as spla
+
+    A, P, b, xref = _solve_setup((8, 8, 8))
+    from blasted_tpu.solvers import gmres
+    x, info = gmres(_amat(P), lambda r: r, b, jnp.zeros_like(b),
+                    tol=1e-8, maxiter=2000, nrestart=30)
+    assert bool(info.converged)
+
+    count = {"n": 0}
+    spla.gmres(A.to_scipy(), np.asarray(b), rtol=1e-8, restart=30,
+               maxiter=100, callback=lambda r: count.__setitem__("n", count["n"] + 1),
+               callback_type="pr_norm")
+    # scipy counts inner iterations via callback
+    assert abs(int(info.iters) - count["n"]) <= max(6, 0.15 * count["n"])
