@@ -1,0 +1,244 @@
+"""Reordering and scaling of sparse matrices and vectors.
+
+Equivalent of the reference's ``Reordering`` / ``ReorderingScaling``
+(reference: include/reorderingscaling.hpp:29-120, src/reorderingscaling.cpp:
+applyOrdering for matrices :76-160 and vectors :204-240, applyScaling
+:268-340), host-side NumPy.
+
+Convention (reference: reorderingscaling.hpp:34-38): with row permutation
+``rp``, FORWARD means block-row rp[i] of the original is block-row i of the
+reordered matrix; INVERSE undoes it.  Entries inside dense blocks are not
+touched.
+
+The reference's concrete algorithm is MC64 (a proprietary Fortran routine,
+optional there).  This build ships:
+
+- :class:`RCMReordering` — symmetric reverse-Cuthill-McKee, which *reduces
+  bandwidth*.  On TPU this is doubly useful: it feeds the gather-free DIA
+  fast path (sparse/dia.py) by concentrating entries onto few diagonals.
+- :class:`MaxDiagonalScaling` — row/column equilibration toward a dominant
+  diagonal, playing MC64's job-5 scaling role with standard open algorithms.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..sparse.bsr import BSRMatrix
+from ..sparse.csr import CSRMatrix
+
+__all__ = ["Reordering", "RCMReordering", "MaxDiagonalScaling",
+           "apply_ordering_matrix", "apply_ordering_vector"]
+
+FORWARD = "forward"
+INVERSE = "inverse"
+ROW = "row"
+COLUMN = "column"
+
+
+class Reordering:
+    """Permutation holder + appliers (reference: reorderingscaling.hpp:42-120)."""
+
+    def __init__(self):
+        self.rp = None   # row permutation
+        self.cp = None   # column permutation
+
+    def set_ordering(self, rp=None, cp=None):
+        """(reference: setOrdering)"""
+        self.rp = None if rp is None else np.asarray(rp, dtype=np.int64)
+        self.cp = None if cp is None else np.asarray(cp, dtype=np.int64)
+
+    @property
+    def is_row_reordering(self) -> bool:
+        return self.rp is not None
+
+    @property
+    def is_col_reordering(self) -> bool:
+        return self.cp is not None
+
+    def compute(self, A) -> None:
+        """Compute the ordering from a matrix; base is abstract."""
+        raise NotImplementedError
+
+    # -- application --------------------------------------------------------
+
+    def apply_to_matrix(self, A, mode=FORWARD):
+        """Return a new CSR/BSR matrix with rows/cols permuted
+        (reference: applyOrdering(mat), reorderingscaling.cpp:76-160; rows are
+        re-sorted by column after the permutation as there)."""
+        return apply_ordering_matrix(A, self.rp, self.cp, mode)
+
+    def apply_to_vector(self, v, mode=FORWARD, direction=ROW, bs: int = 1):
+        """(reference: applyOrdering(vec), reorderingscaling.cpp:204-240)"""
+        p = self.rp if direction == ROW else self.cp
+        return apply_ordering_vector(v, p, mode, bs)
+
+
+def apply_ordering_matrix(A, rp, cp, mode=FORWARD):
+    import scipy.sparse as sps
+
+    is_block = isinstance(A, BSRMatrix)
+    sp = A.to_scipy().tocsr() if not is_block else None
+    if is_block:
+        # permute block-rows/cols on the block structure directly
+        n = A.nbrows
+        rowptr = np.asarray(A.rowptr)
+        colind = np.asarray(A.colind)
+        vals = np.asarray(A.vals)
+        rows = np.repeat(np.arange(n), np.diff(rowptr))
+        if rp is not None:
+            irp = np.empty(n, dtype=np.int64)
+            irp[rp] = np.arange(n)
+            rows = (irp[rows] if mode == FORWARD else
+                    np.asarray(rp, dtype=np.int64)[rows])
+        cols = colind.astype(np.int64)
+        if cp is not None:
+            icp = np.empty(n, dtype=np.int64)
+            icp[cp] = np.arange(n)
+            cols = icp[cols] if mode == FORWARD else np.asarray(cp)[cols]
+        order = np.lexsort((cols, rows))
+        rows, cols, vals = rows[order], cols[order], vals[order]
+        new_rowptr = np.zeros(n + 1, dtype=np.int32)
+        np.add.at(new_rowptr[1:], rows, 1)
+        new_rowptr = np.cumsum(new_rowptr, dtype=np.int32)
+        return BSRMatrix.from_arrays(new_rowptr, cols.astype(np.int32), vals,
+                                     A.bs)
+    n = sp.shape[0]
+    if rp is not None:
+        if mode == FORWARD:
+            sp = sp[np.asarray(rp)]
+        else:
+            irp = np.empty(n, dtype=np.int64)
+            irp[np.asarray(rp)] = np.arange(n)
+            sp = sp[irp]
+    if cp is not None:
+        cp = np.asarray(cp)
+        if mode == FORWARD:
+            # new[:, j] = old[:, cp[j]]
+            sp = sp.tocsc()[:, cp].tocsr()
+        else:
+            # new[:, cp[j]] = old[:, j]  ⇔  new = old[:, argsort(cp)]
+            sp = sp.tocsc()[:, np.argsort(cp)].tocsr()
+    sp.sort_indices()
+    return CSRMatrix.from_scipy(sp)
+
+
+def apply_ordering_vector(v, p, mode=FORWARD, bs: int = 1):
+    if p is None:
+        return np.asarray(v).copy()
+    v = np.asarray(v)
+    seg = v.reshape(-1, bs)
+    out = np.empty_like(seg)
+    if mode == FORWARD:
+        out = seg[p]          # entry i of result = entry p[i] of input
+    else:
+        out[p] = seg
+    return out.reshape(v.shape)
+
+
+class ReorderedILU0Preconditioner:
+    """ILU(0) on a reordered copy of the matrix, with vector permutations
+    around the apply (reference: ReorderedAsyncILU0_SRPreconditioner,
+    solverops_ilu0.cpp:398-476 — recomputes the reordering at every compute
+    and factorizes the reordered copy).
+
+    With forward reordering Ã = A[rp][:, cp]: the preconditioner solve
+    M z ≈ r becomes  z = P_c · M̃⁻¹ · P_r r  where P_r gathers rows forward
+    and P_c scatters the solution back (inverse column apply).
+    """
+
+    def __init__(self, A: CSRMatrix, reordering: "Reordering",
+                 settings=None, prefer_dia: bool = True):
+        from ..config import AsyncSolverSettings, PrecType
+
+        self.A = A
+        self.reord = reordering
+        self.settings = settings or AsyncSolverSettings(prec_type=PrecType.ILU0)
+        self.prefer_dia = prefer_dia
+        self.inner = None
+
+    def compute(self):
+        import jax.numpy as jnp
+
+        from ..factory import create_preconditioner, to_device_matrix
+
+        self.reord.compute(self.A)
+        At = self.reord.apply_to_matrix(self.A, FORWARD)
+        D = to_device_matrix(At, prefer_dia=self.prefer_dia)
+        self.inner = create_preconditioner(D, self.settings)
+        # device-resident permutations so apply stays jittable
+        rp = self.reord.rp
+        cp = self.reord.cp if self.reord.cp is not None else rp
+        self._rp = jnp.asarray(rp)
+        self._cp = jnp.asarray(cp)
+        return self.inner.compute()
+
+    def apply(self, r):
+        import jax.numpy as jnp
+
+        rt = r[self._rp]                      # forward row gather
+        zt = self.inner.apply(rt)
+        # inverse column apply: z[cp[j]] = z̃[j]  (scatter)
+        return jnp.zeros_like(zt).at[self._cp].set(zt)
+
+    apply_flat = apply
+
+    def apply_relax(self, b, x):
+        raise NotImplementedError
+
+
+class RCMReordering(Reordering):
+    """Symmetric reverse-Cuthill-McKee (bandwidth-minimising) ordering."""
+
+    def compute(self, A) -> None:
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        sp = A.to_scipy().tocsr()
+        perm = np.asarray(reverse_cuthill_mckee(sp, symmetric_mode=True),
+                          dtype=np.int64)
+        self.set_ordering(perm, perm)
+
+
+class MaxDiagonalScaling(Reordering):
+    """Symmetric equilibration scaling s_i = 1/√|a_ii| plus optional row
+    permutation maximising the diagonal product via a greedy assignment —
+    the open-algorithm stand-in for the reference's MC64 wrapper
+    (reference: solverops_ilu0.hpp MC64, HAVE_MC64 only)."""
+
+    def __init__(self, permute: bool = False):
+        super().__init__()
+        self.permute = permute
+        self.row_scale = None
+        self.col_scale = None
+
+    def compute(self, A) -> None:
+        sp = A.to_scipy().tocsr()
+        d = np.abs(sp.diagonal())
+        d[d == 0] = 1.0
+        self.row_scale = 1.0 / np.sqrt(d)
+        self.col_scale = 1.0 / np.sqrt(d)
+        if self.permute:
+            import scipy.sparse.csgraph as csg
+            import scipy.sparse as sps
+
+            # maximum-weight bipartite matching on log|a_ij| (MC64 job 4-ish)
+            logs = sp.copy()
+            logs.data = -np.log(np.abs(logs.data) + 1e-300)
+            perm = csg.min_weight_full_bipartite_matching(logs.tocsc())[1]
+            rp = np.empty(sp.shape[0], dtype=np.int64)
+            rp[perm] = np.arange(sp.shape[0])
+            self.set_ordering(np.argsort(rp), None)
+
+    def apply_scaling_matrix(self, A):
+        import scipy.sparse as sps
+
+        sp = A.to_scipy().tocsr()
+        S_r = sps.diags(self.row_scale)
+        S_c = sps.diags(self.col_scale)
+        out = (S_r @ sp @ S_c).tocsr()
+        out.sort_indices()
+        return CSRMatrix.from_scipy(out)
+
+    def apply_scaling_vector(self, v, direction=ROW):
+        s = self.row_scale if direction == ROW else self.col_scale
+        return np.asarray(v) * s
