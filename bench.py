@@ -1,12 +1,17 @@
 """Single-chip roofline benchmark: SpMV + ILU(0) factor/apply vs HBM speed-of-light.
 
-Target (BASELINE.json): SpMV and fixed-point block-ILU0 factor+apply at ≥70%
-of HBM-bandwidth speed-of-light per chip, measured in nnz/s.
+Target (BASELINE.json): SpMV and fixed-point ILU0 factor+apply at ≥70% of
+HBM-bandwidth speed-of-light per chip, measured in nnz/s.
+
+The bench problem is the reference's own central fixture — a 3-D Poisson
+7-point system — which the framework stores in the gather-free DIA format
+(sparse/dia.py): every kernel is shifted streaming FMAs, so the speed-of-light
+model is pure HBM traffic.
 
 Prints ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 where value is the minimum HBM-bandwidth fraction over {SpMV, ILU0 factor
-sweep, ILU0 apply sweep} and vs_baseline = value / 0.70 (≥1 means the
+sweep, ILU0 apply sweep-pair} and vs_baseline = value / 0.70 (≥1 means the
 baseline target is met).  Diagnostics go to stderr.
 """
 
@@ -48,60 +53,59 @@ def main():
     import jax.numpy as jnp
 
     from blasted_tpu.apps import poisson3d_system
+    from blasted_tpu.factory import to_device_matrix
     from blasted_tpu.ops.spmv import spmv
-    from blasted_tpu.ops.sweeps import unit_lower_sweep
-    from blasted_tpu.precond.ilu0 import ILU0Preconditioner
+    from blasted_tpu.ops.sweeps import unit_lower_sweep, upper_solve_sweep
+    from blasted_tpu.precond.dia_ilu0 import DiaILU0Preconditioner
+    from blasted_tpu.sparse.dia import DiaMatrix
 
-    npts = int(os.environ.get("BENCH_NPTS", "98"))  # interior (npts-2)^3 rows
+    npts = int(os.environ.get("BENCH_NPTS", "130"))  # interior (npts-2)^3 rows
     A, b, _ = poisson3d_system((npts, npts, npts), dist="uniform")
-    P = A.pad()
-    n = P.nrows
-    W = P.width
-    nnz = int(np.asarray(P.nnz_total))
-    nnzpad = n * W
-    itemsize = P.vals_pad.dtype.itemsize
-    print(f"n={n} nnz={nnz} W={W} pad_fill={nnz/nnzpad:.2f} "
-          f"dtype={P.vals_pad.dtype} HBM={HBM_BW/1e9:.0f}GB/s",
-          file=sys.stderr)
+    D = to_device_matrix(A)
+    assert isinstance(D, DiaMatrix)
+    n = D.nrows
+    k = D.ndiags
+    nnz = A.nnz
+    isz = D.dtype.itemsize
+    print(f"n={n} nnz={nnz} diags={k} dtype={D.dtype} "
+          f"HBM={HBM_BW/1e9:.0f}GB/s", file=sys.stderr)
 
-    x = jnp.asarray(np.random.default_rng(0).standard_normal(n),
-                    dtype=P.dtype)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(n), dtype=D.dtype)
 
-    # ---- SpMV ----
-    t_spmv = _time_iterated(lambda v: spmv(P, v), x)
-    # bytes: vals_pad + colind (int32) + gathered x + y write
-    bytes_spmv = nnzpad * (itemsize + 4 + itemsize) + n * itemsize
+    # ---- SpMV:  traffic = data (k·n) + x + y ----
+    t_spmv = _time_iterated(lambda v: spmv(D, v), x)
+    bytes_spmv = (k + 2) * n * isz
     frac_spmv = bytes_spmv / t_spmv / HBM_BW
     print(f"spmv: {t_spmv*1e3:.3f} ms  {nnz/t_spmv/1e9:.2f} Gnnz/s  "
-          f"HBM frac {frac_spmv:.2f}", file=sys.stderr)
+          f"HBM frac {frac_spmv:.3f}", file=sys.stderr)
 
-    # ---- ILU0 machinery ----
-    prec = ILU0Preconditioner(P, nbuildsweeps=1, napplysweeps=1)
-    prec._ensure_symbolic()
-    sym = prec.symbolic
-    base = prec._scaled_vals(None)
+    # ---- ILU0 factor sweep:  base + ilu(read) + ilu(write) + mask-free ----
+    prec = DiaILU0Preconditioner(D, nbuildsweeps=1, napplysweeps=1)
+    base = D.data
     sweep = prec._factor_sweep_fn(base)
     t_fact = _time_iterated(sweep, base)
-    Ppairs = sym.lowerp.shape[1]
-    npairs_pad = nnz * Ppairs
-    # bytes per factor sweep: base read + 2 pair gathers (idx + val each) +
-    # diag gather + write
-    bytes_fact = (nnz * itemsize + npairs_pad * 2 * (4 + itemsize)
-                  + nnz * itemsize + nnz * itemsize)
+    bytes_fact = (3 * k) * n * isz   # read base + read ilu + write ilu per diag
     frac_fact = bytes_fact / t_fact / HBM_BW
-    print(f"ilu0 factor sweep: {t_fact*1e3:.3f} ms  P={Ppairs}  "
-          f"{nnz/t_fact/1e9:.2f} Gnnz/s  HBM frac {frac_fact:.2f}",
+    print(f"ilu0 factor sweep: {t_fact*1e3:.3f} ms  "
+          f"{nnz/t_fact/1e9:.2f} Gnnz/s  HBM frac {frac_fact:.3f}",
           file=sys.stderr)
 
     prec.compute()
     st = prec.state
-    t_apply = _time_iterated(lambda y: unit_lower_sweep(P, st.ilu_pad, x, y),
-                             jnp.zeros_like(x))
-    # bytes per triangular sweep: ilu_pad + colind + gathered y + z read + write
-    bytes_apply = nnzpad * (itemsize + 4 + itemsize) + 2 * n * itemsize
+    kl = sum(1 for o in D.offsets if o < 0)
+    ku = sum(1 for o in D.offsets if o > 0)
+
+    # ---- ILU0 apply: one forward + one backward sweep chained ----
+    def apply_pair(y):
+        y1 = unit_lower_sweep(D, st.ilu, x, y)
+        return upper_solve_sweep(D, st.ilu, st.ilu_dinv, x, y1)
+
+    t_apply = _time_iterated(apply_pair, jnp.zeros_like(x))
+    # fwd: kl diag reads + z + y read + y write; bwd: ku + dinv + y + z + write
+    bytes_apply = ((kl + 3) + (ku + 4)) * n * isz
     frac_apply = bytes_apply / t_apply / HBM_BW
-    print(f"ilu0 apply sweep: {t_apply*1e3:.3f} ms  HBM frac {frac_apply:.2f}",
-          file=sys.stderr)
+    print(f"ilu0 apply sweep-pair: {t_apply*1e3:.3f} ms  "
+          f"HBM frac {frac_apply:.3f}", file=sys.stderr)
 
     value = min(frac_spmv, frac_fact, frac_apply)
     print(json.dumps({

@@ -1,0 +1,245 @@
+"""High-level solver API — the TPU-native replacement for the reference's
+PETSc-plugin layer (L6).
+
+The reference integrates as a PCSHELL inside PETSc's KSP, configured through
+the ``-blasted_*`` options-database namespace and wired up by
+``setup_blasted_stack`` (reference: include/blasted_petsc.h:31-111,
+src/blasted_petsc.cpp:136-208 option parsing, :403-576 PCShell callbacks,
+:578-661 recursive stack walker; doc/user-doc.md:6-31 options).
+
+Here the host application is JAX itself, so the integration surface is:
+
+- :class:`BlastedOptions` — parses the same ``blasted_*`` option names from a
+  dict or an argv-style list (``-blasted_pc_type ilu0 -blasted_async_sweeps
+  4,3 ...``); ``blasted_thread_chunk_size`` is accepted and ignored (no TPU
+  meaning — SURVEY.md §2.5 P6 maps it to kernel tile sizes).
+- :class:`SolverContext` — the ``Blasted_data`` analogue: preconditioner +
+  per-instance factor/apply timers and call counts.
+- :func:`setup_local_preconditioner` / :func:`compute_preconditioner` /
+  :func:`apply_local` / :func:`relax_local` — the PCShell callback triad
+  (blasted_petsc.cpp:403-576), as plain functions over the context.
+- :func:`solve` — one-call driver: matrix (+ optional mesh for the
+  domain-decomposed path, replacing ``-pc_type bjacobi`` + sub-KSP) → x.
+
+The reference's recursive stack walker handles PCBJACOBI/PCASM by attaching
+one context per subdomain; the equivalent here is the mesh path, which
+builds one shard-local context per device (parallel/dist.py).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import (
+    SEQUENTIAL,
+    ApplyInit,
+    AsyncSolverSettings,
+    FactInit,
+    PrecType,
+)
+from .factory import create_preconditioner, to_device_matrix
+from .precond.base import SolveParams
+from .solvers import SolveInfo, bicgstab, cg, gcr, gmres, richardson
+from .utils.timing import PrecTimers
+
+__all__ = ["BlastedOptions", "SolverContext", "setup_local_preconditioner",
+           "compute_preconditioner", "apply_local", "relax_local", "solve"]
+
+
+@dataclass
+class BlastedOptions:
+    """The ``-blasted_*`` option namespace (reference: doc/user-doc.md:6-31,
+    parsing in blasted_petsc.cpp:136-208)."""
+
+    pc_type: str = "jacobi"             # -blasted_pc_type
+    async_sweeps: tuple = (1, 1)        # -blasted_async_sweeps b,a (−1 ⇒ exact)
+    use_symmetric_scaling: bool = False  # -blasted_use_symmetric_scaling
+    fact_init_type: str = "init_original"   # -blasted_async_fact_init_type
+    apply_init_type: str = "init_zero"      # -blasted_async_apply_init_type
+    compute_precinfo: bool = False      # -blasted_compute_preconditioner_info
+    thread_chunk_size: int = 0          # accepted, no TPU meaning
+    # solver-side options (the reference leaves these to PETSc's -ksp_*)
+    ksp_type: str = "bicgstab"
+    rtol: float = 1e-8
+    maxiter: int = 1000
+    restart: int = 30
+    prefer_dia: bool = True
+
+    @staticmethod
+    def from_dict(opts: dict) -> "BlastedOptions":
+        o = BlastedOptions()
+        for key, val in opts.items():
+            k = key.lstrip("-")
+            if k.startswith("blasted_"):
+                k = k[len("blasted_"):]
+            if k == "async_sweeps":
+                if isinstance(val, str):
+                    val = tuple(int(s) for s in val.split(","))
+                o.async_sweeps = tuple(val)
+            elif k == "async_fact_init_type":
+                o.fact_init_type = str(val)
+            elif k == "async_apply_init_type":
+                o.apply_init_type = str(val)
+            elif k == "compute_preconditioner_info":
+                o.compute_precinfo = _truthy(val)
+            elif k == "use_symmetric_scaling":
+                o.use_symmetric_scaling = _truthy(val)
+            elif hasattr(o, k):
+                cur = getattr(o, k)
+                if isinstance(cur, bool):
+                    setattr(o, k, _truthy(val))
+                elif isinstance(cur, int):
+                    setattr(o, k, int(val))
+                elif isinstance(cur, float):
+                    setattr(o, k, float(val))
+                else:
+                    setattr(o, k, val)
+            else:
+                raise ValueError(f"Unknown option: {key}")
+        return o
+
+    @staticmethod
+    def from_argv(argv) -> "BlastedOptions":
+        """Parse '-blasted_pc_type ilu0 -blasted_async_sweeps 4,3 ...' lists
+        (the PETSc options-database style)."""
+        d = {}
+        i = 0
+        while i < len(argv):
+            key = argv[i]
+            if not key.startswith("-"):
+                raise ValueError(f"Expected -option, got {key!r}")
+            if i + 1 < len(argv) and not argv[i + 1].startswith("-"):
+                d[key] = argv[i + 1]
+                i += 2
+            else:
+                d[key] = True
+                i += 1
+        return BlastedOptions.from_dict(d)
+
+    def settings(self) -> AsyncSolverSettings:
+        return AsyncSolverSettings(
+            prec_type=PrecType(self.pc_type),
+            nbuildsweeps=int(self.async_sweeps[0]),
+            napplysweeps=int(self.async_sweeps[1]),
+            use_symmetric_scaling=self.use_symmetric_scaling,
+            fact_init=FactInit(self.fact_init_type),
+            apply_init=ApplyInit(self.apply_init_type),
+            compute_precinfo=self.compute_precinfo,
+        )
+
+
+def _truthy(v) -> bool:
+    return v in (True, 1, "1", "true", "True", "yes")
+
+
+@dataclass
+class SolverContext:
+    """``Blasted_data`` equivalent (reference: blasted_petsc.h:31-85)."""
+
+    prec: object = None
+    options: BlastedOptions = field(default_factory=BlastedOptions)
+    timers: PrecTimers = field(default_factory=PrecTimers)
+    first_setup_done: bool = False
+    infolist: list = field(default_factory=list)   # PrecInfoList analogue
+
+
+def setup_local_preconditioner(A, options=None) -> SolverContext:
+    """(reference: setup_localpreconditioner_blasted, blasted_petsc.cpp:663-721)"""
+    if options is None:
+        options = BlastedOptions()
+    elif isinstance(options, dict):
+        options = BlastedOptions.from_dict(options)
+    elif isinstance(options, (list, tuple)):
+        options = BlastedOptions.from_argv(options)
+    D = to_device_matrix(A, prefer_dia=options.prefer_dia) \
+        if not hasattr(A, "vals_pad") and not hasattr(A, "data") else A
+    ctx = SolverContext(options=options)
+    ctx.prec = create_preconditioner(D, options.settings())
+    ctx.first_setup_done = True
+    return ctx
+
+
+def compute_preconditioner(ctx: SolverContext):
+    """(reference: compute_preconditioner_blasted, blasted_petsc.cpp:403-430)"""
+    with ctx.timers.time_factor():
+        info = ctx.prec.compute()
+    if ctx.options.compute_precinfo:
+        ctx.infolist.append(info)
+    return info
+
+
+def apply_local(ctx: SolverContext, r):
+    """(reference: apply_local_blasted, blasted_petsc.cpp:474-517)"""
+    with ctx.timers.time_apply():
+        z = ctx.prec.apply_flat(jnp.asarray(r))
+        z.block_until_ready()
+    return z
+
+
+def relax_local(ctx: SolverContext, b, x, maxits: int = 1):
+    """(reference: relax_local_blasted, blasted_petsc.cpp:519-576 — only used
+    under Richardson with scale 1.0 there; same contract here)."""
+    ctx.prec.set_apply_params(SolveParams(maxits=maxits))
+    with ctx.timers.time_apply():
+        out = ctx.prec.apply_relax(jnp.asarray(b), jnp.asarray(x))
+        out.block_until_ready()
+    return out
+
+
+_SOLVERS = {"richardson": richardson, "bicgstab": bicgstab, "gcr": gcr,
+            "gmres": gmres, "cg": cg}
+
+
+def solve(A, b, options=None, mesh=None, x0=None):
+    """One-call driver: CSR/BSR (or device matrix) + RHS → (x, SolveInfo, ctx).
+
+    With ``mesh`` given, rows are sharded over the mesh and the
+    preconditioner becomes shard-local (bjacobi semantics) — the analogue of
+    the reference under ``-pc_type bjacobi -sub_pc_type shell``
+    (SURVEY.md §2.5 P8)."""
+    if options is None:
+        options = BlastedOptions()
+    elif isinstance(options, dict):
+        options = BlastedOptions.from_dict(options)
+    elif isinstance(options, (list, tuple)):
+        options = BlastedOptions.from_argv(options)
+
+    if mesh is not None:
+        from .parallel import DistributedSolver
+
+        ds = DistributedSolver(A, mesh, options.settings())
+        kw = {"nrestart": options.restart} if options.ksp_type in ("gcr", "gmres") else {}
+        x, info = ds.solve(b, x0=x0, method=options.ksp_type,
+                           tol=options.rtol, maxiter=options.maxiter, **kw)
+        return x, info, ds
+
+    D = to_device_matrix(A, prefer_dia=options.prefer_dia)
+    ctx = setup_local_preconditioner(D, options)
+    compute_preconditioner(ctx)
+
+    from .ops.spmv import spmv
+
+    bs = getattr(D, "bs", 1) if hasattr(D, "bs") else 1
+    if hasattr(D, "gather_x") and hasattr(D, "diag_blocks"):
+        from .ops.spmv import bspmv
+
+        def amat(x):
+            return bspmv(D, x.reshape(-1, D.bs)).reshape(-1)
+    else:
+        def amat(x):
+            return spmv(D, x)
+
+    solver = _SOLVERS[options.ksp_type]
+    bvec = jnp.asarray(np.asarray(b))
+    x0v = jnp.zeros_like(bvec) if x0 is None else jnp.asarray(np.asarray(x0))
+    kw = {"nrestart": options.restart} if options.ksp_type in ("gcr", "gmres") else {}
+    t0 = time.perf_counter()
+    x, info = solver(amat, ctx.prec.apply_flat, bvec, x0v,
+                     tol=options.rtol, maxiter=options.maxiter, **kw)
+    x.block_until_ready()
+    ctx.timers.apply_walltime += time.perf_counter() - t0
+    return x, info, ctx

@@ -1,0 +1,100 @@
+"""API-layer tests: option parsing, the PCShell-callback triad, one-call
+solve, timers (reference analogue: the -blasted_* option namespace and
+Blasted_data context, doc/user-doc.md:6-31, blasted_petsc.h:31-85)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from blasted_tpu.api import (
+    BlastedOptions,
+    apply_local,
+    compute_preconditioner,
+    relax_local,
+    setup_local_preconditioner,
+    solve,
+)
+from blasted_tpu.apps import poisson3d_system
+from helpers import random_csr
+
+
+def test_options_from_argv():
+    o = BlastedOptions.from_argv(
+        ["-blasted_pc_type", "ilu0", "-blasted_async_sweeps", "4,3",
+         "-blasted_use_symmetric_scaling",
+         "-blasted_async_fact_init_type", "init_sgs",
+         "-blasted_thread_chunk_size", "512"])
+    assert o.pc_type == "ilu0"
+    assert o.async_sweeps == (4, 3)
+    assert o.use_symmetric_scaling is True
+    assert o.fact_init_type == "init_sgs"
+    s = o.settings()
+    assert s.nbuildsweeps == 4 and s.napplysweeps == 3
+
+
+def test_options_sequential_sweeps():
+    o = BlastedOptions.from_dict({"blasted_pc_type": "ilu0",
+                                  "blasted_async_sweeps": "-1,-1"})
+    assert o.async_sweeps == (-1, -1)
+
+
+def test_unknown_option_rejected():
+    with pytest.raises(ValueError):
+        BlastedOptions.from_dict({"blasted_bogus": 1})
+
+
+def test_pcshell_triad_and_timers():
+    A, b, _ = poisson3d_system((8, 8, 8), dist="chebyshev")
+    ctx = setup_local_preconditioner(
+        A, {"blasted_pc_type": "ilu0", "blasted_async_sweeps": "3,3"})
+    compute_preconditioner(ctx)
+    z = apply_local(ctx, b)
+    assert z.shape == (A.nrows,)
+    assert ctx.timers.factor_calls == 1
+    assert ctx.timers.apply_calls == 1
+    assert ctx.timers.factor_walltime > 0
+    assert ctx.timers.apply_walltime > 0
+
+
+def test_relax_local():
+    A, b, _ = poisson3d_system((8, 8, 8), dist="uniform")
+    ctx = setup_local_preconditioner(A, {"blasted_pc_type": "jacobi"})
+    compute_preconditioner(ctx)
+    x0 = np.zeros(A.nrows)
+    x = relax_local(ctx, b, x0, maxits=50)
+    # 50 Jacobi steps must reduce the residual
+    r0 = np.linalg.norm(b)
+    r = np.linalg.norm(b - A.to_scipy() @ np.asarray(x))
+    assert r < 0.5 * r0
+
+
+@pytest.mark.parametrize("ksp", ["bicgstab", "gmres", "gcr", "richardson"])
+def test_one_call_solve(ksp):
+    A, b, _ = poisson3d_system((9, 9, 9), dist="chebyshev")
+    xref = np.linalg.solve(A.to_scipy().toarray(), b)
+    x, info, ctx = solve(A, b, {"blasted_pc_type": "ilu0",
+                                "blasted_async_sweeps": "-1,-1",
+                                "ksp_type": ksp, "rtol": 1e-10,
+                                "maxiter": 2000})
+    assert bool(info.converged), ksp
+    err = np.abs(np.asarray(x) - xref).max() / np.abs(xref).max()
+    assert err < 1e-6
+
+
+def test_one_call_solve_distributed():
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from blasted_tpu.parallel import make_mesh
+
+    A, b, _ = poisson3d_system((10, 10, 10), dist="uniform")
+    xref = np.linalg.solve(A.to_scipy().toarray(), b)
+    mesh = make_mesh(4)
+    x, info, ds = solve(A, b, {"blasted_pc_type": "ilu0",
+                               "blasted_async_sweeps": "4,4",
+                               "ksp_type": "bicgstab", "rtol": 1e-10,
+                               "maxiter": 1500}, mesh=mesh)
+    assert bool(info.converged)
+    err = np.abs(np.asarray(x) - xref).max() / np.abs(xref).max()
+    assert err < 1e-6
