@@ -46,6 +46,11 @@ def compute_levels_lower(rowptr, colind) -> np.ndarray:
     level[i] = 1 + max(level[c]) over strictly-lower neighbours c
     (host-side; reference: levelschedule.cpp:11-71 computes the equivalent
     consecutive-peeling partition)."""
+    from .. import native
+
+    out = native.levels_lower(rowptr, colind)
+    if out is not None:
+        return out
     rowptr = np.asarray(rowptr)
     colind = np.asarray(colind)
     n = rowptr.shape[0] - 1
@@ -60,6 +65,11 @@ def compute_levels_lower(rowptr, colind) -> np.ndarray:
 
 def compute_levels_upper(rowptr, colind) -> np.ndarray:
     """Levels for backward substitution (dependencies are upper neighbours)."""
+    from .. import native
+
+    out = native.levels_upper(rowptr, colind)
+    if out is not None:
+        return out
     rowptr = np.asarray(rowptr)
     colind = np.asarray(colind)
     n = rowptr.shape[0] - 1

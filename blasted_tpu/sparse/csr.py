@@ -105,15 +105,19 @@ class CSRMatrix:
 
 
 def _compute_diagind(rowptr: np.ndarray, colind: np.ndarray) -> np.ndarray:
+    """Position of each row's diagonal entry (vectorised: one global
+    searchsorted over the row-major-sorted (row, col) keys)."""
     n = rowptr.shape[0] - 1
-    diagind = np.full(n, -1, dtype=np.int32)
-    for i in range(n):
-        row = colind[rowptr[i]:rowptr[i + 1]]
-        hits = np.nonzero(row == i)[0]
-        if hits.size == 0:
-            raise ValueError(f"Row {i} has no diagonal entry")
-        diagind[i] = rowptr[i] + hits[0]
-    return diagind
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(rowptr))
+    key_all = rows * n + colind.astype(np.int64)
+    want = np.arange(n, dtype=np.int64) * (n + 1)
+    pos = np.searchsorted(key_all, want)
+    ok = (pos < key_all.shape[0]) & \
+        (key_all[np.minimum(pos, key_all.shape[0] - 1)] == want)
+    if not ok.all():
+        missing = int(np.nonzero(~ok)[0][0])
+        raise ValueError(f"Row {missing} has no diagonal entry")
+    return pos.astype(np.int32)
 
 
 def extend_zero(arr: jax.Array) -> jax.Array:
