@@ -12,8 +12,9 @@ Structure (see pallas_guide.md: Async DMA + Double Buffering):
 - the (k, n) diagonal data streams through VMEM via the standard BlockSpec
   pipeline;
 - the x window for tile t, ``xp[tC : tC + C + halo]``, is hand double-buffered
-  with ``make_async_copy`` across sequential grid steps (scratch persists
-  between grid iterations on TPU).
+  across sequential grid steps with two explicit VMEM buffers selected by
+  even/odd predication (Mosaic cannot slice a stacked buffer on the slot
+  axis), scratch state persisting between grid iterations on TPU.
 """
 
 from __future__ import annotations
@@ -29,29 +30,46 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["dia_matvec_pallas"]
 
 
-def _kernel(xp_ref, data_ref, y_ref, scratch, sems, *, offsets, hi, C, win, T):
+def _kernel(xp_ref, data_ref, y_ref, buf0, buf1, sems,
+            *, offsets, hi, C, win, T):
     t = pl.program_id(0)
-    slot = jax.lax.rem(t, 2)
-    nslot = jax.lax.rem(t + 1, 2)
+    even = jax.lax.rem(t, 2) == 0
 
-    def copy_for(tile, s):
-        return pltpu.make_async_copy(
-            xp_ref.at[pl.ds(tile * C, win)], scratch.at[s], sems.at[s])
+    def start(tile, buf, sem_ix):
+        pltpu.make_async_copy(
+            xp_ref.at[pl.ds(tile * C, win)], buf, sems.at[sem_ix]).start()
+
+    def wait(tile, buf, sem_ix):
+        pltpu.make_async_copy(
+            xp_ref.at[pl.ds(tile * C, win)], buf, sems.at[sem_ix]).wait()
 
     @pl.when(t == 0)
     def _():
-        copy_for(t, slot).start()
+        start(t, buf0, 0)
 
-    @pl.when(t + 1 < T)
+    @pl.when(even & (t + 1 < T))
     def _():
-        copy_for(t + 1, nslot).start()
+        start(t + 1, buf1, 1)
 
-    copy_for(t, slot).wait()
+    @pl.when(~even & (t + 1 < T))
+    def _():
+        start(t + 1, buf0, 0)
 
-    acc = data_ref[0, :] * scratch[slot, pl.ds(hi + offsets[0], C)]
-    for d, o in enumerate(offsets[1:], start=1):
-        acc = acc + data_ref[d, :] * scratch[slot, pl.ds(hi + o, C)]
-    y_ref[:] = acc
+    def compute(buf):
+        acc = data_ref[0, :] * buf[pl.ds(hi + offsets[0], C)]
+        for d, o in enumerate(offsets[1:], start=1):
+            acc = acc + data_ref[d, :] * buf[pl.ds(hi + o, C)]
+        y_ref[:] = acc
+
+    @pl.when(even)
+    def _():
+        wait(t, buf0, 0)
+        compute(buf0)
+
+    @pl.when(~even)
+    def _():
+        wait(t, buf1, 1)
+        compute(buf1)
 
 
 def dia_matvec_pallas(data: jax.Array, offsets, x: jax.Array,
@@ -68,7 +86,6 @@ def dia_matvec_pallas(data: jax.Array, offsets, x: jax.Array,
     hi = max(0, -min(offsets))
 
     C = min(tile, n)
-    # pad n to a multiple of C so the grid is uniform
     npad = (-n) % C
     if npad:
         data = jnp.pad(data, ((0, 0), (0, npad)))
@@ -89,7 +106,8 @@ def dia_matvec_pallas(data: jax.Array, offsets, x: jax.Array,
         out_specs=pl.BlockSpec((C,), lambda t: (t,), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ntot,), data.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, win), data.dtype),
+            pltpu.VMEM((win,), data.dtype),
+            pltpu.VMEM((win,), data.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

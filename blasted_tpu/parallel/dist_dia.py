@@ -1,0 +1,217 @@
+"""Distributed DIA path: banded matrices over a device mesh.
+
+The general distributed path (parallel/dist.py) all-gathers x for the SpMV.
+Banded matrices need only a *neighbour halo*: with halo width
+H = max|offset| ≤ rows-per-shard, each shard exchanges H boundary entries
+with its two ring neighbours via ``lax.ppermute`` over ICI — the TPU-native
+equivalent of PETSc's VecScatter halo update (SURVEY.md §2.5 P8), and the
+communication pattern behind the ≥80% weak-scaling target (BASELINE.md).
+
+The shard-local preconditioner follows the block-Jacobi contract: the local
+diagonal block of a banded matrix is the same band with entries crossing the
+shard boundary masked out, so the *entire* setup (ILU fixed-point sweeps) and
+apply run inside ``shard_map`` with zero communication — not even a host loop
+over shards (the local mask is position-identical on every shard).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ApplyInit, AsyncSolverSettings, FactInit, PrecType
+from ..precond.dia_ilu0 import dia_factor_sweep, dia_pairs
+from ..sparse.dia import DiaMatrix, shift_read
+
+__all__ = ["DistDiaSolver", "dist_dia_spmv"]
+
+
+def _ring_halo(xl, H, axis="rows"):
+    """Exchange H-entry boundary strips with ring neighbours; zero at the
+    non-periodic ends."""
+    nd = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+    fwd = [(i, (i + 1) % nd) for i in range(nd)]
+    bwd = [(i, (i - 1) % nd) for i in range(nd)]
+    left = jax.lax.ppermute(xl[-H:], axis, fwd)    # my left halo ← left nbr
+    right = jax.lax.ppermute(xl[:H], axis, bwd)    # my right halo ← right nbr
+    left = jnp.where(idx == 0, 0.0, left)
+    right = jnp.where(idx == nd - 1, 0.0, right)
+    return left, right
+
+
+def _local_windows(xw, offsets, H, nl):
+    """Shifted reads of the halo-extended local vector (length nl + 2H)."""
+    return [jax.lax.dynamic_slice(xw, (H + o,), (nl,)) for o in offsets]
+
+
+def dist_dia_spmv(mesh: Mesh, offsets, data: jax.Array, x: jax.Array,
+                  halo: int) -> jax.Array:
+    """y = A x with row-sharded DIA data (k, n) and x (n,)."""
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(None, "rows"), P("rows")), out_specs=P("rows"))
+    def f(dl, xl):
+        nl = xl.shape[0]
+        left, right = _ring_halo(xl, halo)
+        xw = jnp.concatenate([left, xl, right])
+        segs = _local_windows(xw, offsets, halo, nl)
+        acc = dl[0] * segs[0]
+        for d in range(1, len(offsets)):
+            acc = acc + dl[d] * segs[d]
+        return acc
+
+    return f(data, x)
+
+
+class DistDiaSolver:
+    """Banded distributed solve: halo SpMV + shard-local DIA preconditioner."""
+
+    def __init__(self, A, mesh: Mesh,
+                 settings: AsyncSolverSettings | None = None):
+        from ..sparse.csr import CSRMatrix
+        from ..sparse.dia import dia_from_csr
+
+        if isinstance(A, CSRMatrix):
+            A = dia_from_csr(A)
+        if not isinstance(A, DiaMatrix):
+            raise TypeError("DistDiaSolver needs a banded (DIA) matrix")
+        self.mesh = mesh
+        self.offsets = A.offsets
+        self.halo = max((abs(o) for o in A.offsets), default=0)
+        nd = int(mesh.devices.size)
+        n = A.nrows
+        if n % nd:
+            raise ValueError(f"nrows {n} not divisible by {nd} devices")
+        self.nl = n // nd
+        if self.halo > self.nl:
+            raise ValueError("band wider than a shard; use the general path")
+        self.settings = settings or AsyncSolverSettings(
+            prec_type=PrecType.JACOBI)
+
+        sh2 = NamedSharding(mesh, P(None, "rows"))
+        self.data = jax.device_put(A.data, sh2)
+        self.mask = jax.device_put(A.mask, sh2)
+        self._prec_state = None
+        self._compute()
+
+    # -- preconditioner setup (all inside shard_map) -------------------------
+
+    def _compute(self):
+        s = self.settings
+        offsets = self.offsets
+        mesh = self.mesh
+        t = s.prec_type
+        if t == PrecType.NONE:
+            self._prec_state = None
+            return
+
+        d0 = offsets.index(0)
+        pairs = dia_pairs(offsets)
+        nsweeps = max(s.nbuildsweeps, 1)
+        nl = self.nl
+
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(None, "rows"), P(None, "rows")),
+                 out_specs=(P(None, "rows"), P("rows")))
+        def setup(dl, ml):
+            # local-block mask: entries crossing the shard boundary drop out
+            r = jnp.arange(nl)
+            local_ok = jnp.stack(
+                [((r + o) >= 0) & ((r + o) < nl) for o in offsets])
+            mask_l = ml & local_ok
+            base = jnp.where(mask_l, dl, 0.0)
+            if t in (PrecType.JACOBI, PrecType.GS, PrecType.SGS):
+                return base, 1.0 / base[d0]
+            # fixed-point ILU(0) sweeps on the local band
+            if s.fact_init == FactInit.SGS:
+                den = jnp.where(base[d0] == 0, 1.0, base[d0])
+                ilu0 = jnp.stack([
+                    jnp.where(mask_l[d],
+                              base[d] / jnp.where(
+                                  shift_read(den, o) == 0, 1.0,
+                                  shift_read(den, o)), 0.0)
+                    if o < 0 else base[d]
+                    for d, o in enumerate(offsets)])
+            else:
+                ilu0 = base
+            ilu = jax.lax.fori_loop(
+                0, nsweeps,
+                lambda i, v: dia_factor_sweep(offsets, pairs, d0, mask_l,
+                                              base, v),
+                ilu0)
+            udiag = ilu[d0]
+            return ilu, 1.0 / jnp.where(udiag == 0, 1.0, udiag)
+
+        self._prec_state = setup(self.data, self.mask)
+
+    # -- operators -----------------------------------------------------------
+
+    def amat(self, x: jax.Array) -> jax.Array:
+        return dist_dia_spmv(self.mesh, self.offsets, self.data, x, self.halo)
+
+    def prec_apply(self, r: jax.Array) -> jax.Array:
+        if self._prec_state is None:
+            return r
+        s = self.settings
+        offsets = self.offsets
+        vals, dinv = self._prec_state
+        t = s.prec_type
+        ns = max(s.napplysweeps, 1)
+        lower = [d for d, o in enumerate(offsets) if o < 0]
+        upper = [d for d, o in enumerate(offsets) if o > 0]
+
+        @partial(shard_map, mesh=self.mesh,
+                 in_specs=(P(None, "rows"), P("rows"), P("rows")),
+                 out_specs=P("rows"))
+        def apply_local(vl, di, rl):
+            # no communication: shifts read zero beyond the shard (bjacobi)
+            def tri_mv(sel, y):
+                acc = jnp.zeros_like(y)
+                for d in sel:
+                    acc = acc + vl[d] * shift_read(y, offsets[d])
+                return acc
+
+            if t == PrecType.JACOBI:
+                return di * rl
+            if t == PrecType.GS:
+                x = jnp.zeros_like(rl)
+                for _ in range(ns):
+                    x = di * (rl - tri_mv(lower, x) - tri_mv(upper, x))
+                return x
+            if t == PrecType.SGS:
+                y = jnp.zeros_like(rl)
+                for _ in range(ns):
+                    y = di * (rl - tri_mv(lower, y))
+                z = jnp.zeros_like(rl)
+                for _ in range(ns):
+                    z = y - di * tri_mv(upper, z)
+                return z
+            # ILU0: unit-lower then upper sweeps with the factored band
+            y = jnp.zeros_like(rl)
+            for _ in range(ns):
+                y = rl - tri_mv(lower, y)
+            z = y if s.apply_init == ApplyInit.JACOBI else jnp.zeros_like(rl)
+            for _ in range(ns):
+                z = di * (y - tri_mv(upper, z))
+            return z
+
+        return apply_local(vals, dinv, r)
+
+    def solve(self, b, x0=None, method: str = "bicgstab", tol: float = 1e-8,
+              maxiter: int = 500, **kw):
+        from .dist import shard_vector
+        from ..solvers import bicgstab, cg, gcr, gmres, richardson
+
+        solver = {"bicgstab": bicgstab, "cg": cg, "gcr": gcr, "gmres": gmres,
+                  "richardson": richardson}[method]
+        b = shard_vector(self.mesh, b)
+        x0 = (shard_vector(self.mesh, x0) if x0 is not None
+              else jnp.zeros_like(b))
+        return solver(self.amat, self.prec_apply, b, x0,
+                      tol=tol, maxiter=maxiter, **kw)

@@ -40,7 +40,34 @@ from .levels import (
     exact_upper_solve,
 )
 
-__all__ = ["DiaILU0Preconditioner"]
+__all__ = ["DiaILU0Preconditioner", "dia_pairs", "dia_factor_sweep"]
+
+
+def dia_pairs(offsets):
+    """Static diagonal-pair lists per target diagonal:
+    pairs(o) = {(d_lower, d_upper, o1) : o1<0, o2=o−o1>0, both stored}."""
+    oset = {o: d for d, o in enumerate(offsets)}
+    return [
+        [(oset[o1], oset[o - o1], o1)
+         for o1 in offsets if o1 < 0 and (o - o1) in oset and (o - o1) > 0]
+        for o in offsets
+    ]
+
+
+def dia_factor_sweep(offsets, pairs, d0, mask, base, ilu):
+    """One Chow–Patel fixed-point sweep on DIA storage (pure function;
+    shared by the local and the shard-mapped distributed paths)."""
+    udiag = ilu[d0]
+    rows = []
+    for d, o in enumerate(offsets):
+        s = base[d]
+        for (dl, du, o1) in pairs[d]:
+            s = s - ilu[dl] * shift_read(ilu[du], o1)
+        if o < 0:
+            den = shift_read(udiag, o)
+            s = s / jnp.where(den == 0, 1.0, den)
+        rows.append(jnp.where(mask[d], s, 0.0))
+    return jnp.stack(rows)
 
 
 class _DiaILUState(NamedTuple):
@@ -66,13 +93,7 @@ class DiaILU0Preconditioner(Preconditioner):
         self.apply_init = apply_init
         offs = mat.offsets
         self._d0 = offs.index(0)
-        # static diagonal-pair lists per target diagonal
-        oset = {o: d for d, o in enumerate(offs)}
-        self._pairs = [
-            [(oset[o1], oset[o - o1], o1)
-             for o1 in offs if o1 < 0 and (o - o1) in oset and (o - o1) > 0]
-            for o in offs
-        ]
+        self._pairs = dia_pairs(offs)
         self._levels = None
 
     # -- helpers ------------------------------------------------------------
@@ -118,17 +139,7 @@ class DiaILU0Preconditioner(Preconditioner):
         d0 = self._d0
 
         def sweep(ilu):
-            udiag = ilu[d0]
-            rows = []
-            for d, o in enumerate(A.offsets):
-                s = base[d]
-                for (dl, du, o1) in pairs[d]:
-                    s = s - ilu[dl] * shift_read(ilu[du], o1)
-                if o < 0:
-                    den = shift_read(udiag, o)
-                    s = s / jnp.where(den == 0, 1.0, den)
-                rows.append(jnp.where(A.mask[d], s, 0.0))
-            return jnp.stack(rows)
+            return dia_factor_sweep(A.offsets, pairs, d0, A.mask, base, ilu)
 
         return sweep
 

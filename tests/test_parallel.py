@@ -97,3 +97,61 @@ def test_dist_ndev_invariance():
         results.append((np.asarray(x), int(info.iters)))
     np.testing.assert_allclose(results[0][0], results[1][0], rtol=1e-9)
     assert results[0][1] == results[1][1]
+
+
+def test_dist_dia_spmv_matches_serial():
+    from blasted_tpu.parallel.dist_dia import DistDiaSolver
+    from blasted_tpu.sparse.dia import dia_from_csr
+    from blasted_tpu.ops.dia import dia_spmv
+
+    A, b, _ = poisson3d_system((10, 10, 10), dist="uniform")  # n=512
+    D = dia_from_csr(A)
+    mesh = make_mesh(8)
+    ds = DistDiaSolver(A, mesh)
+    x = np.random.default_rng(0).standard_normal(A.nrows)
+    y = np.asarray(ds.amat(shard_vector(mesh, x)))
+    yref = np.asarray(dia_spmv(D, jnp.asarray(x)))
+    np.testing.assert_allclose(y, yref, rtol=1e-13, atol=1e-13)
+
+
+def test_dist_dia_local_ilu_matches_bjacobi_oracle():
+    """Shard-local DIA ILU == serial ILU of each diagonal block."""
+    from blasted_tpu.parallel.dist_dia import DistDiaSolver
+    from blasted_tpu.precond.dia_ilu0 import DiaILU0Preconditioner
+    from blasted_tpu.sparse.csr import CSRMatrix
+    from blasted_tpu.sparse.dia import dia_from_csr
+
+    A, b, _ = poisson3d_system((10, 10, 10), dist="chebyshev")
+    n = A.nrows
+    mesh = make_mesh(4)
+    settings = AsyncSolverSettings(prec_type=PrecType.ILU0,
+                                   nbuildsweeps=6, napplysweeps=6)
+    ds = DistDiaSolver(A, mesh, settings)
+    r = np.random.default_rng(1).standard_normal(n)
+    z = np.asarray(ds.prec_apply(shard_vector(mesh, r)))
+
+    nl = n // 4
+    sp = A.to_scipy()
+    for d in range(4):
+        lo, hi = d * nl, (d + 1) * nl
+        blk = CSRMatrix.from_scipy(sp[lo:hi, lo:hi].tocsr())
+        p = DiaILU0Preconditioner(dia_from_csr(blk), nbuildsweeps=6,
+                                  napplysweeps=6)
+        p.compute()
+        zref = np.asarray(p.apply(jnp.asarray(r[lo:hi])))
+        np.testing.assert_allclose(z[lo:hi], zref, rtol=1e-11, atol=1e-11)
+
+
+def test_dist_dia_solve_converges():
+    from blasted_tpu.parallel.dist_dia import DistDiaSolver
+
+    A, b, _ = poisson3d_system((10, 10, 10), dist="chebyshev")
+    xref = np.linalg.solve(A.to_scipy().toarray(), b)
+    mesh = make_mesh(8)
+    ds = DistDiaSolver(
+        A, mesh, AsyncSolverSettings(prec_type=PrecType.ILU0,
+                                     nbuildsweeps=4, napplysweeps=4))
+    x, info = ds.solve(b, tol=1e-10, maxiter=1200)
+    assert bool(info.converged)
+    err = np.abs(np.asarray(x) - xref).max() / np.abs(xref).max()
+    assert err < 1e-7
