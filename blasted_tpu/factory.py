@@ -30,6 +30,7 @@ from .precond import (
     Preconditioner,
     SGSPreconditioner,
 )
+from .sparse.bdia import BlockDiaMatrix, try_bdia_from_bsr
 from .sparse.bsr import BSRMatrix, PaddedBSR
 from .sparse.csr import CSRMatrix, PaddedCSR
 from .sparse.dia import DiaMatrix, try_dia_from_csr
@@ -48,13 +49,17 @@ def to_device_matrix(mat, prefer_dia: bool = True):
         d = try_dia_from_csr(mat)
         if d is not None:
             return d
+    if prefer_dia and isinstance(mat, BSRMatrix):
+        d = try_bdia_from_bsr(mat)
+        if d is not None:
+            return d
     return _padded(mat)
 
 
 def create_preconditioner(mat, settings: SolverSettings) -> Preconditioner:
     """(reference: SRFactory::create_preconditioner, solverfactory.cpp:129-230)"""
     P = _padded(mat)
-    is_block = isinstance(P, PaddedBSR)
+    is_block = isinstance(P, (PaddedBSR, BlockDiaMatrix))
     t = settings.prec_type
     s = settings if isinstance(settings, AsyncSolverSettings) \
         else AsyncSolverSettings(prec_type=t)
@@ -90,6 +95,12 @@ def create_preconditioner(mat, settings: SolverSettings) -> Preconditioner:
             nbuild = SEQUENTIAL
         if t in (PrecType.SEQILU0, PrecType.SAPILU0, PrecType.ASYNC_LEVEL_ILU0):
             napply = SEQUENTIAL
+        if isinstance(P, BlockDiaMatrix):
+            from .precond.bdia_ilu0 import BlockDiaILU0Preconditioner
+            return BlockDiaILU0Preconditioner(
+                P, nbuildsweeps=nbuild, napplysweeps=napply,
+                use_scaling=s.use_symmetric_scaling,
+                fact_init=s.fact_init, apply_init=s.apply_init)
         if is_block:
             return BlockILU0Preconditioner(
                 P, nbuildsweeps=nbuild, napplysweeps=napply,

@@ -48,9 +48,14 @@ def block_matvec(blocks: jax.Array, segs: jax.Array) -> jax.Array:
                       preferred_element_type=blocks.dtype)
 
 
-def bspmv(A: PaddedBSR, x: jax.Array) -> jax.Array:
+def bspmv(A, x: jax.Array) -> jax.Array:
     """y = A x for BSR; ``x`` is (nbrows, bs) block-segment form
-    (reference: matvecs.cpp bsr_matrix_apply)."""
+    (reference: matvecs.cpp bsr_matrix_apply).  Format-dispatched:
+    padded BSR or block-DIA."""
+    from ..sparse.bdia import BlockDiaMatrix
+    if isinstance(A, BlockDiaMatrix):
+        from .bdia import bdia_spmv
+        return bdia_spmv(A, x)
     xg = A.gather_x(x)                       # (n, W, bs)
     return block_matvec(A.vals_pad, xg)
 

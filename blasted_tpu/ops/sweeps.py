@@ -104,13 +104,24 @@ def _bmasked(vals_pad: jax.Array, mask: jax.Array) -> jax.Array:
                      jnp.zeros((), vals_pad.dtype))
 
 
-def block_lower_mv(A: PaddedBSR, vals_pad: jax.Array, x: jax.Array) -> jax.Array:
-    """(L x) over strictly-lower blocks; x is (nbrows, bs)."""
+def block_lower_mv(A, vals_pad: jax.Array, x: jax.Array) -> jax.Array:
+    """(L x) over strictly-lower blocks; x is (nbrows, bs).
+
+    Format-dispatched: padded BSR (masked gather + batched matmul) or
+    block-DIA (shifted batched matmuls, no gathers)."""
+    from ..sparse.bdia import BlockDiaMatrix
+    if isinstance(A, BlockDiaMatrix):
+        from .bdia import bdia_lower_mv
+        return bdia_lower_mv(A, vals_pad, x)
     xg = A.gather_x(x)
     return block_matvec(_bmasked(vals_pad, A.lower_mask), xg)
 
 
-def block_upper_mv(A: PaddedBSR, vals_pad: jax.Array, x: jax.Array) -> jax.Array:
+def block_upper_mv(A, vals_pad: jax.Array, x: jax.Array) -> jax.Array:
+    from ..sparse.bdia import BlockDiaMatrix
+    if isinstance(A, BlockDiaMatrix):
+        from .bdia import bdia_upper_mv
+        return bdia_upper_mv(A, vals_pad, x)
     xg = A.gather_x(x)
     return block_matvec(_bmasked(vals_pad, A.upper_mask), xg)
 

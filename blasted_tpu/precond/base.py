@@ -86,7 +86,8 @@ class Preconditioner:
 
     @property
     def block_size(self) -> int:
-        return self.mat.bs if isinstance(self.mat, PaddedBSR) else 1
+        # duck-typed: PaddedBSR and BlockDiaMatrix expose bs; scalar forms don't
+        return getattr(self.mat, "bs", 1)
 
     def apply_flat(self, r: jax.Array) -> jax.Array:
         """Apply on a flat (n,) vector regardless of block form."""

@@ -48,9 +48,12 @@ class _LevelState(NamedTuple):
 
 def _build_levels(P):
     """Reconstruct flat colind and compute both wavefront orderings (host)."""
+    from ..sparse.bdia import BlockDiaMatrix, block_pattern_csr
     from ..sparse.dia import DiaMatrix
 
-    if isinstance(P, DiaMatrix):
+    if isinstance(P, BlockDiaMatrix):
+        rowptr, colind = block_pattern_csr(P)
+    elif isinstance(P, DiaMatrix):
         sp = P.to_scipy()
         rowptr, colind = sp.indptr, sp.indices
     else:

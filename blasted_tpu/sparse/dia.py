@@ -118,15 +118,18 @@ def try_dia_from_csr(A: CSRMatrix, max_diags: int = 64) -> DiaMatrix | None:
 
 
 def shift_read(x: jax.Array, o: int) -> jax.Array:
-    """Return s with s[i] = x[i+o] (zero beyond the ends) as a sliced read of
-    one shared zero-padded buffer — fuses into consumers, no materialised
-    copies per diagonal."""
-    n = x.shape[0]
+    """Return s with s[i] = x[i+o] along axis 0 (zero beyond the ends) as a
+    sliced read of one shared zero-padded buffer — fuses into consumers, no
+    materialised copies per diagonal.  Works for (n,), (n, bs) segment and
+    (n, bs, bs) block arrays alike."""
     if o == 0:
         return x
+    tail = x.shape[1:]
     if o > 0:
-        return jnp.concatenate([x[o:], jnp.zeros((o,), x.dtype)])
-    return jnp.concatenate([jnp.zeros((-o,), x.dtype), x[:o]])
+        z = jnp.zeros((o,) + tail, x.dtype)
+        return jnp.concatenate([x[o:], z])
+    z = jnp.zeros((-o,) + tail, x.dtype)
+    return jnp.concatenate([z, x[:o]])
 
 
 def shifts_table(x: jax.Array, offsets) -> list:
