@@ -14,7 +14,11 @@ collectives around local (per-shard) preconditioners.
 """
 
 from . import apps, config, ops, precond, solvers, sparse
-from .factory import create_preconditioner, create_preconditioner_from_string
+from .factory import (
+    create_preconditioner,
+    create_preconditioner_from_string,
+    to_device_matrix,
+)
 from .config import (
     SEQUENTIAL,
     ApplyInit,
@@ -40,6 +44,7 @@ __version__ = "0.1.0"
 __all__ = [
     "apps", "config", "ops", "precond", "solvers", "sparse",
     "create_preconditioner", "create_preconditioner_from_string",
+    "to_device_matrix",
     "SEQUENTIAL", "ApplyInit", "AsyncSolverSettings", "FactInit", "PrecType",
     "SolverSettings",
     "BSRMatrix", "COOMatrix", "CSRMatrix", "PaddedBSR", "PaddedCSR",
