@@ -119,10 +119,12 @@ def create_preconditioner(mat, settings: SolverSettings) -> Preconditioner:
             compute_precinfo=s.compute_precinfo)
 
     if t in (PrecType.SAI, PrecType.ISAI):
-        from .precond.sai import SAIPreconditioner
-        if isinstance(P, DiaMatrix):
-            raise ValueError("SAI requires padded-CSR storage; convert with "
-                             "to_device_matrix(mat, prefer_dia=False)")
+        from .precond.sai import BlockSAIPreconditioner, SAIPreconditioner
+        if isinstance(P, (DiaMatrix, BlockDiaMatrix)):
+            raise ValueError("SAI requires padded-CSR/BSR storage; convert "
+                             "with to_device_matrix(mat, prefer_dia=False)")
+        if is_block:
+            return BlockSAIPreconditioner(P, incomplete=(t == PrecType.ISAI))
         return SAIPreconditioner(P, incomplete=(t == PrecType.ISAI))
 
     raise ValueError(f"Unknown preconditioner type: {t}")

@@ -35,7 +35,7 @@ from ..sparse.csr import PaddedCSR, extend_zero
 from .base import Preconditioner, PrecInfo
 from .ilu_pattern import rows_of_nnz
 
-__all__ = ["SAIPreconditioner"]
+__all__ = ["SAIPreconditioner", "BlockSAIPreconditioner"]
 
 
 class _SAISymbolic(NamedTuple):
@@ -161,6 +161,72 @@ class SAIPreconditioner(Preconditioner):
         P = self.mat
         rg = P.gather_x(r)
         return jnp.sum(self.state.sai_pad * rg, axis=1)
+
+    def apply_relax(self, b, x):
+        raise NotImplementedError("SAI relaxation not implemented")
+
+
+class BlockSAIPreconditioner(Preconditioner):
+    """Block left SAI/ISAI (reference: compute_SAI instantiated for bs=1,4,
+    sai.cpp:328-335): per block-row least-squares with bs right-hand sides —
+    LHS[c·bs:…, j·bs:…] = (A_jc)ᵀ (the transposed-block gather of
+    sai.cpp:337-368), RHS = the bs columns of the identity at the central
+    block-row.  Solved as one batched normal-equations system of size
+    (nVars·bs) per block row; apply = block SpMV with M."""
+
+    def __init__(self, mat, incomplete: bool = False):
+        super().__init__(mat)
+        self.incomplete = incomplete
+        self.symbolic: _SAISymbolic | None = None
+        self._vals = None
+
+    def _ensure_symbolic(self):
+        if self.symbolic is None:
+            self.symbolic = _build_sai_symbolic(self.mat, self.incomplete)
+            nnzb = self.symbolic.nnz
+            pos = np.asarray(self.mat.pos)
+            vp = np.asarray(self.mat.vals_pad)
+            bs = self.mat.bs
+            vals = np.zeros((nnzb, bs, bs), dtype=vp.dtype)
+            valid = pos < nnzb
+            vals[pos[valid]] = vp[valid]
+            self._vals = jnp.asarray(vals)
+
+    def compute(self) -> PrecInfo:
+        self._ensure_symbolic()
+        sym = self.symbolic
+        bs = self.mat.bs
+        ext = jnp.concatenate(
+            [self._vals, jnp.zeros((1, bs, bs), self._vals.dtype)])
+        blk = ext[sym.lhs_pos]                      # (n, E, V, bs, bs) = A[j,c]
+        n, E, V = sym.lhs_pos.shape
+        dt = blk.dtype
+        # scalar LHS rows are (c, ib), cols are (j, jb): LHS = A_jcᵀ per block
+        lhs = jnp.transpose(blk, (0, 1, 4, 2, 3)).reshape(n, E * bs, V * bs)
+        G = jnp.einsum("nev,new->nvw", lhs, lhs, preferred_element_type=dt)
+        pad = jnp.repeat(sym.var_pad, bs, axis=1)   # (n, V*bs)
+        G = G + pad[:, :, None] * jnp.eye(V * bs, dtype=dt)
+        # B = LHSᵀ E_central: rows c==central give (A_i,central? no: A at
+        # (j, c=i)) → gather the central equation's block rows
+        central_rows = jnp.take_along_axis(
+            lhs.reshape(n, E, bs, V * bs),
+            sym.central[:, None, None, None], axis=1)[:, 0]   # (n, bs, V*bs)
+        B = jnp.swapaxes(central_rows, 1, 2)        # (n, V*bs, bs)
+        m = jnp.linalg.solve(G, B)                  # (n, V*bs, bs)
+        m = jnp.where(pad[:, :, None], 0.0, m)
+        # m[(j,jb), ib] = M_i[ib? ...]: solution column ib gives row i·bs+ib of
+        # M; M block (i,j)[ib, jb] = m[j·bs+jb, ib]
+        mblk = jnp.transpose(m.reshape(n, V, bs, bs), (0, 1, 3, 2))  # (n,V,bs,bs)
+        flat = jnp.zeros((sym.nnz + 1, bs, bs), dt).at[self.mat.pos[:, :V]].set(mblk)
+        self.state = _SAIState(sai_pad=flat[self.mat.pos])
+        return PrecInfo()
+
+    def apply(self, r: jax.Array) -> jax.Array:
+        """r is (nbrows, bs); z = M r via block SpMV."""
+        P = self.mat
+        rg = P.gather_x(r)                          # (n, W, bs)
+        return jnp.einsum("rwij,rwj->ri", self.state.sai_pad, rg,
+                          preferred_element_type=r.dtype)
 
     def apply_relax(self, b, x):
         raise NotImplementedError("SAI relaxation not implemented")
