@@ -219,15 +219,16 @@ class MaxDiagonalScaling(Reordering):
         self.col_scale = 1.0 / np.sqrt(d)
         if self.permute:
             import scipy.sparse.csgraph as csg
-            import scipy.sparse as sps
 
-            # maximum-weight bipartite matching on log|a_ij| (MC64 job 4-ish)
+            # maximum-product bipartite matching on −log|a_ij| (MC64 job-4
+            # analogue): row rp[i] carries the matched entry of column i, so
+            # the forward row permutation puts it on the diagonal
             logs = sp.copy()
             logs.data = -np.log(np.abs(logs.data) + 1e-300)
-            perm = csg.min_weight_full_bipartite_matching(logs.tocsc())[1]
+            rows_m, cols_m = csg.min_weight_full_bipartite_matching(logs.tocsr())
             rp = np.empty(sp.shape[0], dtype=np.int64)
-            rp[perm] = np.arange(sp.shape[0])
-            self.set_ordering(np.argsort(rp), None)
+            rp[cols_m] = rows_m
+            self.set_ordering(rp, None)
 
     def apply_scaling_matrix(self, A):
         import scipy.sparse as sps

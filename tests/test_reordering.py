@@ -116,3 +116,29 @@ def test_max_diagonal_scaling():
     As = s.apply_scaling_matrix(A)
     d = np.abs(np.asarray(As.vals)[np.asarray(As.diagind)])
     np.testing.assert_allclose(d, 1.0, rtol=1e-12)
+
+
+def test_max_product_matching_permutation():
+    """MC64-style max-product row matching: after permutation the diagonal
+    has no zeros and the log-product of |diagonal| is maximised vs identity
+    (reference analogue: MC64 job tests, tests/mat_ops)."""
+    import scipy.sparse as sps
+    from blasted_tpu.sparse.csr import CSRMatrix
+
+    rng = np.random.default_rng(11)
+    n = 20
+    # matrix with a weak diagonal but strong off-diagonal structure
+    dense = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.3)
+    # ensure structural full rank via a shifted strong band
+    for i in range(n):
+        dense[i, (i + 3) % n] = 5.0 + rng.random()
+        dense[i, i] += 0.1
+    A = CSRMatrix.from_scipy(sps.csr_matrix(dense))
+    s = MaxDiagonalScaling(permute=True)
+    s.compute(A)
+    assert s.rp is not None
+    At = s.apply_to_matrix(A, FORWARD)
+    d_after = np.abs(np.asarray(At.to_scipy().diagonal()))
+    d_before = np.abs(dense.diagonal())
+    assert d_after.min() > 0
+    assert np.sum(np.log(d_after)) > np.sum(np.log(np.abs(d_before) + 1e-300))
