@@ -84,13 +84,19 @@ class DiaILU0Preconditioner(Preconditioner):
     def __init__(self, mat: DiaMatrix, nbuildsweeps: int = 1,
                  napplysweeps: int = 1, use_scaling: bool = False,
                  fact_init: FactInit = FactInit.ORIGINAL,
-                 apply_init: ApplyInit = ApplyInit.ZERO):
+                 apply_init: ApplyInit = ApplyInit.ZERO,
+                 apply_dtype=None):
         super().__init__(mat)
         self.nbuildsweeps = nbuildsweeps
         self.napplysweeps = napplysweeps
         self.use_scaling = use_scaling
         self.fact_init = fact_init
         self.apply_init = apply_init
+        # Mixed-precision apply (TPU-first): factor in full precision, store
+        # the factors for the triangular sweeps in a narrower dtype (e.g.
+        # jnp.bfloat16).  Preconditioner accuracy tolerates this; the Krylov
+        # operator and vectors stay full precision.
+        self.apply_dtype = apply_dtype
         offs = mat.offsets
         self._d0 = offs.index(0)
         self._pairs = dia_pairs(offs)
@@ -172,8 +178,10 @@ class DiaILU0Preconditioner(Preconditioner):
             ilu = run_sweeps(self.nbuildsweeps, sweep, ilu)
 
         udiag = ilu[self._d0]
+        ilu_store = ilu if self.apply_dtype is None \
+            else ilu.astype(self.apply_dtype)
         self.state = _DiaILUState(
-            ilu=ilu,
+            ilu=ilu_store,
             ilu_dinv=1.0 / udiag,
             scale=scale,
             low_level=low,

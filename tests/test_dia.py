@@ -145,3 +145,27 @@ def test_dia_end_to_end_solve(poisson):
     assert bool(info.converged)
     err = np.abs(np.asarray(x) - xref).max() / np.abs(xref).max()
     assert err < 1e-7
+
+
+def test_dia_ilu0_bf16_apply(poisson):
+    """Mixed-precision preconditioner storage: bf16 factors must still
+    precondition effectively (iterations within 2x of the f64 path)."""
+    A, b = poisson
+    D = dia_from_csr(A)
+    xref = np.linalg.solve(A.to_scipy().toarray(), b)
+
+    def run(dtype):
+        p = DiaILU0Preconditioner(D, nbuildsweeps=4, napplysweeps=4,
+                                  apply_dtype=dtype)
+        p.compute()
+        x, info = bicgstab(lambda v: spmv(D, v), p.apply_flat,
+                           jnp.asarray(b), jnp.zeros(A.nrows, jnp.float64),
+                           tol=1e-10, maxiter=2000)
+        assert bool(info.converged)
+        err = np.abs(np.asarray(x) - xref).max() / np.abs(xref).max()
+        assert err < 1e-6
+        return int(info.iters)
+
+    it_full = run(None)
+    it_bf16 = run(jnp.bfloat16)
+    assert it_bf16 <= max(2 * it_full, it_full + 10)
