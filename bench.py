@@ -1,27 +1,29 @@
-"""Single-chip roofline benchmark: SpMV + ILU(0) factor/apply vs HBM speed-of-light.
+"""Single-chip roofline benchmark: SpMV + ILU(0) factor/apply vs speed-of-light.
 
 Target (BASELINE.json): SpMV and fixed-point ILU0 factor+apply at ≥70% of
-HBM-bandwidth speed-of-light per chip, measured in nnz/s.
+HBM-bandwidth speed-of-light per chip, measured in nnz/s.  The bench problem
+is the reference's central fixture — a 3-D Poisson 7-point system — stored in
+the gather-free DIA format (sparse/dia.py), so every kernel is shifted
+streaming FMAs and the speed-of-light model is pure memory traffic.
 
-The bench problem is the reference's own central fixture — a 3-D Poisson
-7-point system — which the framework stores in the gather-free DIA format
-(sparse/dia.py): every kernel is shifted streaming FMAs, so the speed-of-light
-model is pure HBM traffic.
-
-The attainable bandwidth through this environment's tunnelled TPU is far
-below the chip spec (a pure streaming a*x+b loop measures ~230 GB/s vs the
-v5e's 819 GB/s), so the roofline is *measured in-run*: a saxpy-style
-streaming loop is timed first and its bandwidth is the speed-of-light
-reference — no sparse kernel can beat a dense contiguous stream.
+Measurement methodology (required by this environment's tunnelled TPU):
+- all large arrays are passed as jit *arguments* — closure constants are
+  serialised into the remote-compile request at ~1 MB/s;
+- `block_until_ready` does not synchronise through the tunnel, so every timed
+  call returns a checksum scalar whose host readback forces execution;
+- the ~30 ms call round-trip is cancelled by timing two variants with
+  different in-graph iteration counts and using the slope;
+- a dense streaming a·x+b loop is measured the same way as the attainable
+  roofline (kernels cannot beat a contiguous stream).
 
 Prints ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-where value is the minimum measured-roofline fraction over {SpMV, ILU0
-factor sweep, ILU0 apply sweep-pair} and vs_baseline = value / 0.70 (≥1
-means the baseline target is met).  Spec-sheet HBM fractions are also
-reported on stderr.
+value = min measured-roofline fraction over {SpMV, ILU0 factor sweep, ILU0
+apply sweep-pair}; vs_baseline = value / 0.70 (≥1 meets the target).
+Diagnostics (incl. spec-sheet HBM fractions) go to stderr.
 """
 
+import functools
 import json
 import os
 import sys
@@ -29,30 +31,32 @@ import time
 
 import numpy as np
 
-# HBM bandwidth per chip (GB/s): v5e ≈ 819, v5p ≈ 2765, v4 ≈ 1228.
 _HBM_GBPS = {"v5e": 819.0, "v5p": 2765.0, "v4": 1228.0, "v6e": 1640.0}
 HBM_BW = _HBM_GBPS.get(os.environ.get("PALLAS_AXON_TPU_GEN", "v5e"), 819.0) * 1e9
 
+I1 = int(os.environ.get("BENCH_I1", "4"))
+I2 = int(os.environ.get("BENCH_I2", "54"))
+REPS = int(os.environ.get("BENCH_REPS", "5"))
 
-def _time_iterated(step_fn, x0, iters=50, reps=3):
-    """Time ``iters`` chained applications of ``step_fn`` inside ONE jit call
-    (the tunnelled TPU has multi-ms per-dispatch latency; chaining inside the
-    computation measures on-device steady-state throughput)."""
+
+def _slope_time(make_run, args):
+    """Best-of-REPS call times at two iteration counts; return slope s/iter."""
     import jax
 
-    @jax.jit
-    def run(x):
-        return jax.lax.fori_loop(0, iters, lambda i, v: step_fn(v), x)
-
-    out = run(x0)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = run(x0)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+    t_at = {}
+    for iters in (I1, I2):
+        run = make_run(iters)
+        s = float(run(*args))            # compile + upload + execute
+        if not np.isfinite(s):
+            print(f"  (checksum non-finite at iters={iters}: {s})",
+                  file=sys.stderr)
+        best = float("inf")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            s = float(run(*args))
+            best = min(best, time.perf_counter() - t0)
+        t_at[iters] = best
+    return max((t_at[I2] - t_at[I1]) / (I2 - I1), 1e-9)
 
 
 def main():
@@ -63,62 +67,107 @@ def main():
     from blasted_tpu.factory import to_device_matrix
     from blasted_tpu.ops.spmv import spmv
     from blasted_tpu.ops.sweeps import unit_lower_sweep, upper_solve_sweep
-    from blasted_tpu.precond.dia_ilu0 import DiaILU0Preconditioner
+    from blasted_tpu.precond.dia_ilu0 import dia_factor_sweep, dia_pairs
     from blasted_tpu.sparse.dia import DiaMatrix
 
-    npts = int(os.environ.get("BENCH_NPTS", "130"))  # interior (npts-2)^3 rows
+    # interior (npts-2)^3 rows; default 160^3 = 4.1M (working set > VMEM)
+    npts = int(os.environ.get("BENCH_NPTS", "162"))
     A, b, _ = poisson3d_system((npts, npts, npts), dist="uniform")
     D = to_device_matrix(A)
     assert isinstance(D, DiaMatrix)
-    n = D.nrows
-    k = D.ndiags
+    n, k = D.nrows, D.ndiags
     nnz = A.nnz
     isz = D.dtype.itemsize
+    offsets = D.offsets
     print(f"n={n} nnz={nnz} diags={k} dtype={D.dtype} "
-          f"HBM={HBM_BW/1e9:.0f}GB/s", file=sys.stderr)
+          f"spec HBM={HBM_BW/1e9:.0f}GB/s", file=sys.stderr)
 
     x = jnp.asarray(np.random.default_rng(0).standard_normal(n), dtype=D.dtype)
 
-    # ---- measured streaming roofline: y = a*y + b ----
-    a_s = jnp.asarray(np.random.default_rng(1).standard_normal(n), dtype=D.dtype)
-    b_s = jnp.asarray(np.random.default_rng(2).standard_normal(n), dtype=D.dtype)
-    t_stream = _time_iterated(lambda v: a_s * v + b_s, x)
-    stream_bw = 4 * n * isz / t_stream        # read a, b, y; write y
-    print(f"stream roofline: {t_stream*1e3:.3f} ms -> "
+    # ---- streaming roofline ----
+    a_s = jnp.asarray(np.random.default_rng(1).standard_normal(n),
+                      dtype=D.dtype) * 0.5
+    b_s = jnp.asarray(np.random.default_rng(2).standard_normal(n),
+                      dtype=D.dtype) * 0.01
+
+    def mk_stream(iters):
+        @jax.jit
+        def run(a, bb, y):
+            out = jax.lax.fori_loop(0, iters, lambda i, v: a * v + bb, y)
+            return jnp.sum(out)
+        return run
+
+    t_stream = _slope_time(mk_stream, (a_s, b_s, x))
+    stream_bw = 4 * n * isz / t_stream
+    print(f"stream roofline: {t_stream*1e3:.3f} ms/iter -> "
           f"{stream_bw/1e9:.0f} GB/s ({stream_bw/HBM_BW:.2f} of spec)",
           file=sys.stderr)
 
-    # ---- SpMV:  traffic = data (k·n) + x + y ----
-    t_spmv = _time_iterated(lambda v: spmv(D, v), x)
+    # ---- SpMV (D passed as a pytree argument) ----
+    def mk_spmv(iters):
+        @jax.jit
+        def run(Dm, v):
+            out = jax.lax.fori_loop(
+                0, iters, lambda i, u: spmv(Dm, u) * 1e-3, v)
+            return jnp.sum(out)
+        return run
+
+    t_spmv = _slope_time(mk_spmv, (D, x))
     bytes_spmv = (k + 2) * n * isz
     frac_spmv = bytes_spmv / t_spmv / stream_bw
     print(f"spmv: {t_spmv*1e3:.3f} ms  {nnz/t_spmv/1e9:.2f} Gnnz/s  "
           f"roofline frac {frac_spmv:.3f} "
           f"(spec {bytes_spmv/t_spmv/HBM_BW:.3f})", file=sys.stderr)
 
-    # ---- ILU0 factor sweep:  base + ilu(read) + ilu(write) + mask-free ----
-    prec = DiaILU0Preconditioner(D, nbuildsweeps=1, napplysweeps=1)
-    base = D.data
-    sweep = prec._factor_sweep_fn(base)
-    t_fact = _time_iterated(sweep, base)
-    bytes_fact = (3 * k) * n * isz   # read base + read ilu + write ilu per diag
+    # ---- ILU0 factor sweep ----
+    pairs = dia_pairs(offsets)
+    d0 = offsets.index(0)
+
+    def mk_fact(iters):
+        @jax.jit
+        def run(mask, base, ilu):
+            out = jax.lax.fori_loop(
+                0, iters,
+                lambda i, v: dia_factor_sweep(offsets, pairs, d0, mask,
+                                              base, v),
+                ilu)
+            return jnp.sum(out[d0])
+        return run
+
+    t_fact = _slope_time(mk_fact, (D.mask, D.data, D.data))
+    bytes_fact = (3 * k) * n * isz
     frac_fact = bytes_fact / t_fact / stream_bw
     print(f"ilu0 factor sweep: {t_fact*1e3:.3f} ms  "
           f"{nnz/t_fact/1e9:.2f} Gnnz/s  roofline frac {frac_fact:.3f} "
           f"(spec {bytes_fact/t_fact/HBM_BW:.3f})", file=sys.stderr)
 
-    prec.compute()
-    st = prec.state
-    kl = sum(1 for o in D.offsets if o < 0)
-    ku = sum(1 for o in D.offsets if o > 0)
+    # ---- ILU0 apply (forward + backward sweep pair) ----
+    # factor once on-device (args-passed jit) to get realistic factors
+    fact5 = mk_fact(8)
+    _ = float(fact5(D.mask, D.data, D.data))  # warm the path
 
-    # ---- ILU0 apply: one forward + one backward sweep chained ----
-    def apply_pair(y):
-        y1 = unit_lower_sweep(D, st.ilu, x, y)
-        return upper_solve_sweep(D, st.ilu, st.ilu_dinv, x, y1)
+    @jax.jit
+    def factor8(mask, base, ilu):
+        return jax.lax.fori_loop(
+            0, 8, lambda i, v: dia_factor_sweep(offsets, pairs, d0, mask,
+                                                base, v), ilu)
 
-    t_apply = _time_iterated(apply_pair, jnp.zeros_like(x))
-    # fwd: kl diag reads + z + y read + y write; bwd: ku + dinv + y + z + write
+    ilu = factor8(D.mask, D.data, D.data)
+    dinv = 1.0 / jnp.where(ilu[d0] == 0, 1.0, ilu[d0])
+
+    def mk_apply(iters):
+        @jax.jit
+        def run(Dm, iluv, di, z, y0):
+            def pair(y):
+                y1 = unit_lower_sweep(Dm, iluv, z, y)
+                return upper_solve_sweep(Dm, iluv, di, z, y1)
+            out = jax.lax.fori_loop(0, iters, lambda i, y: pair(y), y0)
+            return jnp.sum(out)
+        return run
+
+    t_apply = _slope_time(mk_apply, (D, ilu, dinv, x, jnp.zeros_like(x)))
+    kl = sum(1 for o in offsets if o < 0)
+    ku = sum(1 for o in offsets if o > 0)
     bytes_apply = ((kl + 3) + (ku + 4)) * n * isz
     frac_apply = bytes_apply / t_apply / stream_bw
     print(f"ilu0 apply sweep-pair: {t_apply*1e3:.3f} ms  "
@@ -134,7 +183,7 @@ def main():
     }))
     sys.stdout.flush()
     sys.stderr.flush()
-    os._exit(0)  # skip the axon relay's 2-minute shutdown stall
+    os._exit(0)  # skip the axon relay's shutdown stall
 
 
 if __name__ == "__main__":

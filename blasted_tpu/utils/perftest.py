@@ -22,6 +22,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+import jax.numpy as jnp
+
 __all__ = ["TimingRun", "run_perf_test", "format_report"]
 
 
@@ -56,7 +58,10 @@ def _one_run(A, b, options, repeats: int) -> TimingRun:
     t0 = time.perf_counter()
     ctx = setup_local_preconditioner(D, opts)
     compute_preconditioner(ctx)
-    jax.block_until_ready(jax.tree_util.tree_leaves(ctx.prec.state))
+    # force completion with a value readback: block_until_ready does not
+    # synchronise through tunnelled backends (see bench.py methodology)
+    for leaf in jax.tree_util.tree_leaves(ctx.prec.state):
+        float(jnp.sum(jnp.abs(leaf).astype(jnp.float32)))
     run.precsetup_walltime = time.perf_counter() - t0
 
     solver = {"richardson": richardson, "bicgstab": bicgstab, "gcr": gcr,
@@ -70,12 +75,12 @@ def _one_run(A, b, options, repeats: int) -> TimingRun:
                       maxiter=opts.maxiter, **kw)
 
     x, info = solve_once()          # warm-up/compile
-    jax.block_until_ready(x)
+    float(jnp.sum(x))
     times, iters = [], []
     for _ in range(repeats):
         t0 = time.perf_counter()
         x, info = solve_once()
-        jax.block_until_ready(x)
+        float(jnp.sum(x))           # readback forces execution
         times.append(time.perf_counter() - t0)
         iters.append(int(info.iters))
     run.walltime = float(np.mean(times))
