@@ -28,7 +28,7 @@ from ..config import ApplyInit, AsyncSolverSettings, FactInit, PrecType
 from ..precond.dia_ilu0 import dia_factor_sweep, dia_pairs
 from ..sparse.dia import DiaMatrix, shift_read
 
-__all__ = ["DistDiaSolver", "dist_dia_spmv"]
+__all__ = ["DistDiaSolver", "DistBlockDiaSolver", "dist_dia_spmv"]
 
 
 def _ring_halo(xl, H, axis="rows"):
@@ -215,3 +215,176 @@ class DistDiaSolver:
               else jnp.zeros_like(b))
         return solver(self.amat, self.prec_apply, b, x0,
                       tol=tol, maxiter=maxiter, **kw)
+
+
+class DistBlockDiaSolver:
+    """Block-banded distributed solve: ppermute halo exchange of block
+    segments + shard-local block-ILU0/Jacobi/SGS (block analogue of
+    :class:`DistDiaSolver`; all block products are MXU-batched matmuls)."""
+
+    def __init__(self, B, mesh: Mesh,
+                 settings: AsyncSolverSettings | None = None):
+        from ..sparse.bdia import BlockDiaMatrix, bdia_from_bsr
+        from ..sparse.bsr import BSRMatrix
+
+        if isinstance(B, BSRMatrix):
+            B = bdia_from_bsr(B)
+        if not isinstance(B, BlockDiaMatrix):
+            raise TypeError("DistBlockDiaSolver needs a block-banded matrix")
+        self.mesh = mesh
+        self.offsets = B.offsets
+        self.bs = B.bs
+        self.halo = max((abs(o) for o in B.offsets), default=0)
+        nd = int(mesh.devices.size)
+        if B.nbrows % nd:
+            raise ValueError(f"nbrows {B.nbrows} not divisible by {nd}")
+        self.nl = B.nbrows // nd
+        if self.halo > self.nl:
+            raise ValueError("band wider than a shard; use the general path")
+        self.settings = settings or AsyncSolverSettings(
+            prec_type=PrecType.JACOBI)
+        self.data = jax.device_put(
+            B.data, NamedSharding(mesh, P(None, "rows", None, None)))
+        self.mask = jax.device_put(
+            B.mask, NamedSharding(mesh, P(None, "rows")))
+        self._compute()
+
+    def _compute(self):
+        from ..ops.sweeps import invert_diag_blocks
+        from ..precond.bdia_ilu0 import bdia_factor_sweep
+        from ..precond.dia_ilu0 import dia_pairs
+
+        s = self.settings
+        offsets = self.offsets
+        t = s.prec_type
+        if t == PrecType.NONE:
+            self._prec_state = None
+            return
+        d0 = offsets.index(0)
+        pairs = dia_pairs(offsets)
+        nsweeps = max(s.nbuildsweeps, 1)
+        nl, bs = self.nl, self.bs
+
+        @partial(shard_map, mesh=self.mesh,
+                 in_specs=(P(None, "rows", None, None), P(None, "rows")),
+                 out_specs=(P(None, "rows", None, None),
+                            P("rows", None, None)))
+        def setup(dl, ml):
+            r = jnp.arange(nl)
+            local_ok = jnp.stack(
+                [((r + o) >= 0) & ((r + o) < nl) for o in offsets])
+            mask_l = ml & local_ok
+            base = jnp.where(mask_l[:, :, None, None], dl, 0.0)
+            eye = jnp.eye(bs, dtype=base.dtype)
+            if t in (PrecType.JACOBI, PrecType.GS, PrecType.SGS):
+                dinv = invert_diag_blocks(
+                    jnp.where(mask_l[d0][:, None, None], base[d0], eye))
+                return base, dinv
+            ilu = jax.lax.fori_loop(
+                0, nsweeps,
+                lambda i, v: bdia_factor_sweep(offsets, pairs, d0, mask_l,
+                                               base, v),
+                base)
+            dinv = invert_diag_blocks(
+                jnp.where(mask_l[d0][:, None, None], ilu[d0], eye))
+            return ilu, dinv
+
+        self._prec_state = setup(self.data, self.mask)
+
+    def amat(self, x: jax.Array) -> jax.Array:
+        """x is the row-sharded (nbrows, bs) global block vector."""
+        offsets, H = self.offsets, self.halo
+
+        @partial(shard_map, mesh=self.mesh,
+                 in_specs=(P(None, "rows", None, None), P("rows", None)),
+                 out_specs=P("rows", None))
+        def f(dl, xl):
+            nl = xl.shape[0]
+            left, right = _ring_halo(xl, H)
+            xw = jnp.concatenate([left, xl, right], axis=0)
+            acc = None
+            for d, o in enumerate(offsets):
+                seg = jax.lax.dynamic_slice(xw, (H + o, 0), (nl, xl.shape[1]))
+                term = jnp.einsum("rij,rj->ri", dl[d], seg,
+                                  preferred_element_type=xl.dtype)
+                acc = term if acc is None else acc + term
+            return acc
+
+        return f(self.data, x)
+
+    def prec_apply(self, r: jax.Array) -> jax.Array:
+        if self._prec_state is None:
+            return r
+        s = self.settings
+        offsets = self.offsets
+        vals, dinv = self._prec_state
+        t = s.prec_type
+        ns = max(s.napplysweeps, 1)
+        lower = [d for d, o in enumerate(offsets) if o < 0]
+        upper = [d for d, o in enumerate(offsets) if o > 0]
+
+        @partial(shard_map, mesh=self.mesh,
+                 in_specs=(P(None, "rows", None, None),
+                           P("rows", None, None), P("rows", None)),
+                 out_specs=P("rows", None))
+        def apply_local(vl, di, rl):
+            def dmul(seg):
+                return jnp.einsum("rij,rj->ri", di, seg,
+                                  preferred_element_type=rl.dtype)
+
+            def tri_mv(sel, y):
+                acc = jnp.zeros_like(y)
+                for d in sel:
+                    acc = acc + jnp.einsum(
+                        "rij,rj->ri", vl[d], shift_read(y, offsets[d]),
+                        preferred_element_type=y.dtype)
+                return acc
+
+            if t == PrecType.JACOBI:
+                return dmul(rl)
+            if t == PrecType.GS:
+                x = jnp.zeros_like(rl)
+                for _ in range(ns):
+                    x = dmul(rl - tri_mv(lower, x) - tri_mv(upper, x))
+                return x
+            if t == PrecType.SGS:
+                y = jnp.zeros_like(rl)
+                for _ in range(ns):
+                    y = dmul(rl - tri_mv(lower, y))
+                z = jnp.zeros_like(rl)
+                for _ in range(ns):
+                    z = y - dmul(tri_mv(upper, z))
+                return z
+            y = jnp.zeros_like(rl)
+            for _ in range(ns):
+                y = rl - tri_mv(lower, y)
+            z = y if s.apply_init == ApplyInit.JACOBI else jnp.zeros_like(rl)
+            for _ in range(ns):
+                z = dmul(y - tri_mv(upper, z))
+            return z
+
+        return apply_local(vals, dinv, r)
+
+    def solve(self, b, x0=None, method: str = "bicgstab", tol: float = 1e-8,
+              maxiter: int = 500, **kw):
+        from .dist import shard_vector
+        from ..solvers import bicgstab, cg, gcr, gmres, richardson
+
+        solver = {"bicgstab": bicgstab, "cg": cg, "gcr": gcr, "gmres": gmres,
+                  "richardson": richardson}[method]
+        bs = self.bs
+        bseg = jax.device_put(jnp.asarray(np.asarray(b)).reshape(-1, bs),
+                              NamedSharding(self.mesh, P("rows", None)))
+        x0s = (jax.device_put(jnp.asarray(np.asarray(x0)).reshape(-1, bs),
+                              NamedSharding(self.mesh, P("rows", None)))
+               if x0 is not None else jnp.zeros_like(bseg))
+
+        def amat_flat(x):
+            return self.amat(x.reshape(-1, bs)).reshape(-1)
+
+        def prec_flat(r):
+            return self.prec_apply(r.reshape(-1, bs)).reshape(-1)
+
+        x, info = solver(amat_flat, prec_flat, bseg.reshape(-1),
+                         x0s.reshape(-1), tol=tol, maxiter=maxiter, **kw)
+        return x, info

@@ -39,11 +39,29 @@ from .levels import (
     exact_block_upper_solve,
 )
 
-__all__ = ["BlockDiaILU0Preconditioner"]
+__all__ = ["BlockDiaILU0Preconditioner", "bdia_factor_sweep"]
 
 
 def _bmm(a, b):
     return jnp.einsum("nij,njk->nik", a, b, preferred_element_type=a.dtype)
+
+
+def bdia_factor_sweep(offsets, pairs, d0, mask, base, ilu):
+    """One block Chow–Patel fixed-point sweep on block-DIA storage (pure
+    function; shared by local and shard-mapped distributed paths)."""
+    bs = base.shape[-1]
+    eye = jnp.eye(bs, dtype=base.dtype)
+    dmask = mask[d0][:, None, None]
+    dinv = invert_diag_blocks(jnp.where(dmask, ilu[d0], eye))
+    rows = []
+    for d, o in enumerate(offsets):
+        s = base[d]
+        for (dl, du, o1) in pairs[d]:
+            s = s - _bmm(ilu[dl], shift_read(ilu[du], o1))
+        if o < 0:
+            s = _bmm(s, shift_read(dinv, o))
+        rows.append(jnp.where(mask[d][:, None, None], s, 0.0))
+    return jnp.stack(rows)
 
 
 class _BDiaILUState(NamedTuple):
@@ -111,22 +129,9 @@ class BlockDiaILU0Preconditioner(Preconditioner):
         A = self.mat
         pairs = self._pairs
         d0 = self._d0
-        eye = jnp.eye(A.bs, dtype=base.dtype)
 
         def sweep(ilu):
-            # guard singular/masked diagonal blocks with identity
-            dblk = ilu[d0]
-            dmask = A.mask[d0][:, None, None]
-            dinv = invert_diag_blocks(jnp.where(dmask, dblk, eye))
-            rows = []
-            for d, o in enumerate(A.offsets):
-                s = base[d]
-                for (dl, du, o1) in pairs[d]:
-                    s = s - _bmm(ilu[dl], shift_read(ilu[du], o1))
-                if o < 0:
-                    s = _bmm(s, shift_read(dinv, o))
-                rows.append(jnp.where(A.mask[d][:, None, None], s, 0.0))
-            return jnp.stack(rows)
+            return bdia_factor_sweep(A.offsets, pairs, d0, A.mask, base, ilu)
 
         return sweep
 

@@ -2,6 +2,8 @@
 reference's `mpirun -n N` localhost tests (reference: tests/CMakeLists.txt:
 213-239): n-device results must match 1-device results within tolerance."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -155,3 +157,34 @@ def test_dist_dia_solve_converges():
     assert bool(info.converged)
     err = np.abs(np.asarray(x) - xref).max() / np.abs(xref).max()
     assert err < 1e-7
+
+
+def test_dist_block_dia_solver():
+    from blasted_tpu.parallel.dist_dia import DistBlockDiaSolver
+    from test_bdia import block_poisson_bsr
+
+    B = block_poisson_bsr(nx=4, bs=4, seed=3)   # 64 block rows
+    n = B.nrows
+    rng = np.random.default_rng(3)
+    xref = rng.standard_normal(n)
+    b = B.to_scipy() @ xref
+    mesh = make_mesh(4)
+    ds = DistBlockDiaSolver(
+        B, mesh, AsyncSolverSettings(prec_type=PrecType.ILU0,
+                                     nbuildsweeps=5, napplysweeps=5))
+    # SpMV parity
+    from blasted_tpu.sparse.bdia import bdia_from_bsr
+    from blasted_tpu.ops.spmv import bspmv
+    D = bdia_from_bsr(B)
+    x = rng.standard_normal(n)
+    xs = jax.device_put(jnp.asarray(x).reshape(-1, 4),
+                        jax.sharding.NamedSharding(
+                            mesh, jax.sharding.PartitionSpec("rows", None)))
+    y = np.asarray(ds.amat(xs)).reshape(-1)
+    yref = np.asarray(bspmv(D, jnp.asarray(x.reshape(-1, 4)))).reshape(-1)
+    np.testing.assert_allclose(y, yref, rtol=1e-12, atol=1e-12)
+    # end-to-end solve
+    xsol, info = ds.solve(b, tol=1e-11, maxiter=500)
+    assert bool(info.converged)
+    err = np.abs(np.asarray(xsol) - xref).max() / np.abs(xref).max()
+    assert err < 1e-8
