@@ -67,7 +67,10 @@ def main():
     from blasted_tpu.factory import to_device_matrix
     from blasted_tpu.ops.spmv import spmv
     from blasted_tpu.ops.sweeps import unit_lower_sweep, upper_solve_sweep
-    from blasted_tpu.precond.dia_ilu0 import dia_factor_sweep, dia_pairs
+    from blasted_tpu.precond.dia_ilu0 import (
+        dia_factor_sweep_tuple,
+        dia_pairs,
+    )
     from blasted_tpu.sparse.dia import DiaMatrix
 
     # interior (npts-2)^3 rows; default 160^3 = 4.1M (working set > VMEM)
@@ -83,22 +86,29 @@ def main():
           f"spec HBM={HBM_BW/1e9:.0f}GB/s", file=sys.stderr)
 
     x = jnp.asarray(np.random.default_rng(0).standard_normal(n), dtype=D.dtype)
+    # chain-normalisation constants so iterated products stay finite
+    amax = float(np.abs(np.asarray(D.data)).max())
+    c_spmv = 1.0 / (amax * k)
 
-    # ---- streaming roofline ----
-    a_s = jnp.asarray(np.random.default_rng(1).standard_normal(n),
-                      dtype=D.dtype) * 0.5
-    b_s = jnp.asarray(np.random.default_rng(2).standard_normal(n),
-                      dtype=D.dtype) * 0.01
-
+    # ---- streaming roofline over the SAME (k, n) data array ----
+    # y ← (Σ_d data[d] ⊙ y) · c reads k+1 arrays and writes one — byte-for-
+    # byte the SpMV model without the shifts, so frac_spmv = t_stream/t_spmv
+    # isolates exactly the shift overhead and VMEM-residency effects cancel.
     def mk_stream(iters):
         @jax.jit
-        def run(a, bb, y):
-            out = jax.lax.fori_loop(0, iters, lambda i, v: a * v + bb, y)
+        def run(dd, y):
+            def body(i, v):
+                acc = dd[0] * v
+                for d in range(1, k):
+                    acc = acc + dd[d] * v
+                return acc * c_spmv
+            out = jax.lax.fori_loop(0, iters, body, y)
             return jnp.sum(out)
         return run
 
-    t_stream = _slope_time(mk_stream, (a_s, b_s, x))
-    stream_bw = 4 * n * isz / t_stream
+    t_stream = _slope_time(mk_stream, (D.data, x))
+    bytes_stream = (k + 2) * n * isz
+    stream_bw = bytes_stream / t_stream
     print(f"stream roofline: {t_stream*1e3:.3f} ms/iter -> "
           f"{stream_bw/1e9:.0f} GB/s ({stream_bw/HBM_BW:.2f} of spec)",
           file=sys.stderr)
@@ -108,7 +118,7 @@ def main():
         @jax.jit
         def run(Dm, v):
             out = jax.lax.fori_loop(
-                0, iters, lambda i, u: spmv(Dm, u) * 1e-3, v)
+                0, iters, lambda i, u: spmv(Dm, u) * c_spmv, v)
             return jnp.sum(out)
         return run
 
@@ -126,31 +136,38 @@ def main():
     def mk_fact(iters):
         @jax.jit
         def run(mask, base, ilu):
+            base_t = tuple(base[d] for d in range(k))
+            mask_t = tuple(mask[d] for d in range(k))
             out = jax.lax.fori_loop(
                 0, iters,
-                lambda i, v: dia_factor_sweep(offsets, pairs, d0, mask,
-                                              base, v),
-                ilu)
+                lambda i, v: dia_factor_sweep_tuple(offsets, pairs, d0,
+                                                    mask_t, base_t, v),
+                tuple(ilu[d] for d in range(k)))
             return jnp.sum(out[d0])
         return run
 
     t_fact = _slope_time(mk_fact, (D.mask, D.data, D.data))
-    bytes_fact = (3 * k) * n * isz
+    # traffic model for the pruned sweep: evolving diagonals only —
+    # per sweep: d0 (base + 2 reads/pair + write) + each lower diag
+    # (base + shifted udiag + write); pair-free upper diags are free
+    kl_ = sum(1 for o in offsets if o < 0)
+    npairs = len(pairs[d0])
+    bytes_fact = (2 + 2 * npairs + 3 * kl_) * n * isz
     frac_fact = bytes_fact / t_fact / stream_bw
     print(f"ilu0 factor sweep: {t_fact*1e3:.3f} ms  "
           f"{nnz/t_fact/1e9:.2f} Gnnz/s  roofline frac {frac_fact:.3f} "
           f"(spec {bytes_fact/t_fact/HBM_BW:.3f})", file=sys.stderr)
 
     # ---- ILU0 apply (forward + backward sweep pair) ----
-    # factor once on-device (args-passed jit) to get realistic factors
-    fact5 = mk_fact(8)
-    _ = float(fact5(D.mask, D.data, D.data))  # warm the path
-
     @jax.jit
     def factor8(mask, base, ilu):
-        return jax.lax.fori_loop(
-            0, 8, lambda i, v: dia_factor_sweep(offsets, pairs, d0, mask,
-                                                base, v), ilu)
+        base_t = tuple(base[d] for d in range(k))
+        mask_t = tuple(mask[d] for d in range(k))
+        out = jax.lax.fori_loop(
+            0, 8, lambda i, v: dia_factor_sweep_tuple(offsets, pairs, d0,
+                                                      mask_t, base_t, v),
+            tuple(ilu[d] for d in range(k)))
+        return jnp.stack(out)
 
     ilu = factor8(D.mask, D.data, D.data)
     dinv = 1.0 / jnp.where(ilu[d0] == 0, 1.0, ilu[d0])

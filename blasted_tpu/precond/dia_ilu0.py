@@ -70,6 +70,31 @@ def dia_factor_sweep(offsets, pairs, d0, mask, base, ilu):
     return jnp.stack(rows)
 
 
+def dia_factor_sweep_tuple(offsets, pairs, d0, mask_t, base_t, ilu_t):
+    """Dependency-pruned sweep over a *tuple* of per-diagonal arrays.
+
+    Upper diagonals with no fill pairs satisfy u_o = â_o at every sweep, so
+    (with any base-derived initial iterate) they are fixed points and pass
+    through untouched — zero HBM traffic.  For the 7-point stencil this cuts
+    the evolving state to the main diagonal plus the lower divisions, nearly
+    halving the sweep's memory traffic vs the stacked form.
+    """
+    udiag = ilu_t[d0]
+    out = []
+    for d, o in enumerate(offsets):
+        if not pairs[d] and o > 0:
+            out.append(ilu_t[d])
+            continue
+        s = base_t[d]
+        for (dl, du, o1) in pairs[d]:
+            s = s - ilu_t[dl] * shift_read(ilu_t[du], o1)
+        if o < 0:
+            den = shift_read(udiag, o)
+            s = s / jnp.where(den == 0, 1.0, den)
+        out.append(jnp.where(mask_t[d], s, 0.0))
+    return tuple(out)
+
+
 class _DiaILUState(NamedTuple):
     ilu: jax.Array       # (k, n) factor values in DIA layout
     ilu_dinv: jax.Array  # (n,) 1/u_ii (guarded)
@@ -164,18 +189,30 @@ class DiaILU0Preconditioner(Preconditioner):
         else:
             ilu = self._fact_initial(base)
 
-        sweep = self._factor_sweep_fn(base)
+        # tuple-of-diagonals carry: pair-free upper diagonals pass through
+        # with zero traffic (see dia_factor_sweep_tuple)
+        offsets, pairs, d0 = A.offsets, self._pairs, self._d0
+        base_t = tuple(base[d] for d in range(len(offsets)))
+        mask_t = tuple(A.mask[d] for d in range(len(offsets)))
+        ilu_t = tuple(ilu[d] for d in range(len(offsets)))
+
+        def sweep_t(v):
+            return dia_factor_sweep_tuple(offsets, pairs, d0, mask_t,
+                                          base_t, v)
+
         if self.nbuildsweeps == SEQUENTIAL:
             lev = low  # factorization wavefronts == lower-solve wavefronts
 
-            def body(it, x):
+            def body(it, xt):
                 l = it // fact_inner
-                xn = sweep(x)
-                return jnp.where((lev == l)[None, :], xn, x)
+                xn = sweep_t(xt)
+                return tuple(jnp.where(lev == l, a, b)
+                             for a, b in zip(xn, xt))
 
-            ilu = jax.lax.fori_loop(0, nlow * fact_inner, body, ilu)
+            ilu_t = jax.lax.fori_loop(0, nlow * fact_inner, body, ilu_t)
         else:
-            ilu = run_sweeps(self.nbuildsweeps, sweep, ilu)
+            ilu_t = run_sweeps(self.nbuildsweeps, sweep_t, ilu_t)
+        ilu = jnp.stack(ilu_t)
 
         udiag = ilu[self._d0]
         ilu_store = ilu if self.apply_dtype is None \
