@@ -133,11 +133,14 @@ def main():
     pairs = dia_pairs(offsets)
     d0 = offsets.index(0)
 
+    mask_np = np.asarray(D.mask)
+    mask_none = [bool(mask_np[d].all()) or offsets[d] < 0 for d in range(k)]
+
     def mk_fact(iters):
         @jax.jit
         def run(mask, base, ilu):
             base_t = tuple(base[d] for d in range(k))
-            mask_t = tuple(mask[d] for d in range(k))
+            mask_t = tuple(None if mask_none[d] else mask[d] for d in range(k))
             out = jax.lax.fori_loop(
                 0, iters,
                 lambda i, v: dia_factor_sweep_tuple(offsets, pairs, d0,
@@ -162,7 +165,7 @@ def main():
     @jax.jit
     def factor8(mask, base, ilu):
         base_t = tuple(base[d] for d in range(k))
-        mask_t = tuple(mask[d] for d in range(k))
+        mask_t = tuple(None if mask_none[d] else mask[d] for d in range(k))
         out = jax.lax.fori_loop(
             0, 8, lambda i, v: dia_factor_sweep_tuple(offsets, pairs, d0,
                                                       mask_t, base_t, v),

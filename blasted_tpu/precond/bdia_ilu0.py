@@ -76,13 +76,15 @@ class BlockDiaILU0Preconditioner(Preconditioner):
     def __init__(self, mat: BlockDiaMatrix, nbuildsweeps: int = 1,
                  napplysweeps: int = 1, use_scaling: bool = False,
                  fact_init: FactInit = FactInit.ORIGINAL,
-                 apply_init: ApplyInit = ApplyInit.ZERO):
+                 apply_init: ApplyInit = ApplyInit.ZERO,
+                 apply_dtype=None):
         super().__init__(mat)
         self.nbuildsweeps = nbuildsweeps
         self.napplysweeps = napplysweeps
         self.use_scaling = use_scaling
         self.fact_init = fact_init
         self.apply_init = apply_init
+        self.apply_dtype = apply_dtype  # see dia_ilu0: mixed-precision apply
         self._d0 = mat.offsets.index(0)
         self._pairs = dia_pairs(mat.offsets)
         self._levels = None
@@ -162,8 +164,10 @@ class BlockDiaILU0Preconditioner(Preconditioner):
 
         eye = jnp.eye(A.bs, dtype=base.dtype)
         dmask = A.mask[self._d0][:, None, None]
+        ilu_store = ilu if self.apply_dtype is None \
+            else ilu.astype(self.apply_dtype)
         self.state = _BDiaILUState(
-            ilu=ilu,
+            ilu=ilu_store,
             ilu_dinv=invert_diag_blocks(jnp.where(dmask, ilu[self._d0], eye)),
             scale=scale,
             low_level=low,

@@ -78,6 +78,10 @@ def dia_factor_sweep_tuple(offsets, pairs, d0, mask_t, base_t, ilu_t):
     through untouched — zero HBM traffic.  For the 7-point stencil this cuts
     the evolving state to the main diagonal plus the lower divisions, nearly
     halving the sweep's memory traffic vs the stacked form.
+
+    ``mask_t[d]`` may be ``None`` when re-masking is provably unnecessary:
+    the diagonal's mask is all-True, or o<0 with a pre-masked base (0 / den
+    with the guarded denominator stays 0).
     """
     udiag = ilu_t[d0]
     out = []
@@ -91,7 +95,7 @@ def dia_factor_sweep_tuple(offsets, pairs, d0, mask_t, base_t, ilu_t):
         if o < 0:
             den = shift_read(udiag, o)
             s = s / jnp.where(den == 0, 1.0, den)
-        out.append(jnp.where(mask_t[d], s, 0.0))
+        out.append(s if mask_t[d] is None else jnp.where(mask_t[d], s, 0.0))
     return tuple(out)
 
 
@@ -193,7 +197,10 @@ class DiaILU0Preconditioner(Preconditioner):
         # with zero traffic (see dia_factor_sweep_tuple)
         offsets, pairs, d0 = A.offsets, self._pairs, self._d0
         base_t = tuple(base[d] for d in range(len(offsets)))
-        mask_t = tuple(A.mask[d] for d in range(len(offsets)))
+        mask_np = np.asarray(A.mask)
+        mask_t = tuple(
+            None if (o < 0 or bool(mask_np[d].all())) else A.mask[d]
+            for d, o in enumerate(offsets))
         ilu_t = tuple(ilu[d] for d in range(len(offsets)))
 
         def sweep_t(v):
