@@ -211,8 +211,25 @@ def solve(A, b, options=None, mesh=None, x0=None):
     if mesh is not None:
         from .parallel import DistributedSolver
 
-        ds = DistributedSolver(A, mesh, options.settings())
         kw = {"nrestart": options.restart} if options.ksp_type in ("gcr", "gmres") else {}
+        ds = None
+        if options.prefer_dia:
+            # banded fast path: ppermute neighbour halo exchange + fully
+            # on-device shard-local preconditioners (parallel/dist_dia.py)
+            from .parallel.dist_dia import DistBlockDiaSolver, DistDiaSolver
+            from .sparse.bsr import BSRMatrix
+            from .sparse.csr import CSRMatrix
+            from .sparse.dia import try_dia_from_csr
+
+            try:
+                if isinstance(A, CSRMatrix) and try_dia_from_csr(A) is not None:
+                    ds = DistDiaSolver(A, mesh, options.settings())
+                elif isinstance(A, BSRMatrix):
+                    ds = DistBlockDiaSolver(A, mesh, options.settings())
+            except (ValueError, TypeError):
+                ds = None  # not banded enough / not divisible — general path
+        if ds is None:
+            ds = DistributedSolver(A, mesh, options.settings())
         x, info = ds.solve(b, x0=x0, method=options.ksp_type,
                            tol=options.rtol, maxiter=options.maxiter, **kw)
         return x, info, ds
