@@ -235,6 +235,21 @@ def solve(A, b, options=None, mesh=None, x0=None):
         return x, info, ds
 
     D = to_device_matrix(A, prefer_dia=options.prefer_dia)
+    reord = None
+    if options.prefer_dia:
+        from .sparse.bdia import BlockDiaMatrix
+        from .sparse.dia import DiaMatrix
+
+        if not isinstance(D, (DiaMatrix, BlockDiaMatrix)):
+            # unstructured: try banding via RCM (TPU gathers are ~200x slower
+            # than the shifted-stream DIA kernels — RESULTS.md)
+            from .factory import rcm_banded_device_matrix
+
+            D2, reord = rcm_banded_device_matrix(A)
+            if D2 is not None:
+                D = D2
+            else:
+                reord = None
     ctx = setup_local_preconditioner(D, options)
     compute_preconditioner(ctx)
 
@@ -253,10 +268,21 @@ def solve(A, b, options=None, mesh=None, x0=None):
     solver = _SOLVERS[options.ksp_type]
     bvec = jnp.asarray(np.asarray(b))
     x0v = jnp.zeros_like(bvec) if x0 is None else jnp.asarray(np.asarray(x0))
+    if reord is not None:
+        # solve the RCM-permuted system: b̃ = P_r b; x = P_cᵀ x̃
+        bs = getattr(D, "bs", 1)
+        rp = jnp.asarray(reord.rp)
+        bvec = bvec.reshape(-1, bs)[rp].reshape(-1)
+        x0v = x0v.reshape(-1, bs)[rp].reshape(-1)
     kw = {"nrestart": options.restart} if options.ksp_type in ("gcr", "gmres") else {}
     t0 = time.perf_counter()
     x, info = solver(amat, ctx.prec.apply_flat, bvec, x0v,
                      tol=options.rtol, maxiter=options.maxiter, **kw)
     x.block_until_ready()
     ctx.timers.apply_walltime += time.perf_counter() - t0
+    if reord is not None:
+        bs = getattr(D, "bs", 1)
+        cp = jnp.asarray(reord.cp)
+        xb = x.reshape(-1, bs)
+        x = jnp.zeros_like(xb).at[cp].set(xb).reshape(-1)
     return x, info, ctx

@@ -56,6 +56,58 @@ def to_device_matrix(mat, prefer_dia: bool = True):
     return _padded(mat)
 
 
+def rcm_banded_device_matrix(mat, max_diags: int = 128,
+                             max_mem_ratio: float = 32.0):
+    """Band an unstructured matrix into the DIA fast path via RCM.
+
+    TPU gathers run ~200× slower than shifted streams (RESULTS.md), so even a
+    sparse band with substantial zero-fill wins.  Returns
+    ``(device_matrix, reordering)`` when RCM produces ≤ ``max_diags``
+    (block-)diagonals with DIA storage ≤ ``max_mem_ratio`` × nnz, else
+    ``(None, None)``.  The caller must permute vectors with the returned
+    :class:`~blasted_tpu.precond.reordering.Reordering` (forward rows on the
+    RHS, inverse columns on the solution).
+    """
+    import numpy as np
+
+    from .precond.reordering import FORWARD, RCMReordering
+    from .sparse.bdia import try_bdia_from_bsr as _try_b
+    from .sparse.dia import try_dia_from_csr as _try_s
+
+    if not isinstance(mat, (CSRMatrix, BSRMatrix)):
+        return None, None
+    r = RCMReordering()
+    # RCM needs a symmetric pattern; compute on A + Aᵀ
+    import scipy.sparse as sps
+
+    if isinstance(mat, BSRMatrix):
+        sp = sps.csr_matrix(
+            (np.ones(mat.nnzb),
+             np.asarray(mat.colind), np.asarray(mat.rowptr)),
+            shape=(mat.nbrows, mat.nbrows))
+    else:
+        sp = mat.to_scipy()
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    perm = np.asarray(reverse_cuthill_mckee((sp + sp.T).tocsr(),
+                                            symmetric_mode=True),
+                      dtype=np.int64)
+    r.set_ordering(perm, perm)
+    At = r.apply_to_matrix(mat, FORWARD)
+
+    if isinstance(At, BSRMatrix):
+        nnz_units = At.nnzb
+        nrows_units = At.nbrows
+        D = _try_b(At, max_diags=max_diags)
+    else:
+        nnz_units = At.nnz
+        nrows_units = At.nrows
+        D = _try_s(At, max_diags=max_diags)
+    if D is None or D.ndiags * nrows_units > max_mem_ratio * nnz_units:
+        return None, None
+    return D, r
+
+
 def create_preconditioner(mat, settings: SolverSettings) -> Preconditioner:
     """(reference: SRFactory::create_preconditioner, solverfactory.cpp:129-230)"""
     P = _padded(mat)

@@ -113,3 +113,36 @@ def test_convergence_history_utility():
     # overall downward trend (reference asserts monotone decrease per sweep
     # group; synchronous sweeps give near-monotone behaviour)
     assert h["l_error"][40] < h["l_error"][10] < h["l_error"][0]
+
+
+def test_solve_unstructured_rcm_banding():
+    """An unstructured banded-after-RCM system routes through the DIA fast
+    path transparently (permutation handled inside solve)."""
+    import scipy.sparse as sps
+    from blasted_tpu.sparse.csr import CSRMatrix
+
+    rng = np.random.default_rng(5)
+    n = 120
+    # banded matrix hidden behind a random permutation
+    diags = {0: 4.0 + rng.random(n)}
+    for o in (1, 2, 5):
+        diags[o] = rng.standard_normal(n - o) * 0.3
+        diags[-o] = rng.standard_normal(n - o) * 0.3
+    sp = sps.diags([diags[o] for o in sorted(diags)],
+                   [o for o in sorted(diags)]).tocsr()
+    perm = rng.permutation(n)
+    sp = sp[perm][:, perm].tocsr()
+    sp.sort_indices()
+    A = CSRMatrix.from_scipy(sp)
+    xref = rng.standard_normal(n)
+    b = sp @ xref
+
+    x, info, ctx = solve(A, b, {"blasted_pc_type": "ilu0",
+                                "blasted_async_sweeps": "4,4",
+                                "rtol": 1e-11, "maxiter": 600})
+    assert bool(info.converged)
+    # the preconditioner ran on a DIA matrix (banding succeeded)
+    from blasted_tpu.sparse.dia import DiaMatrix
+    assert isinstance(ctx.prec.mat, DiaMatrix)
+    err = np.abs(np.asarray(x) - xref).max() / np.abs(xref).max()
+    assert err < 1e-8
