@@ -45,25 +45,31 @@ def _ring_halo(xl, H, axis="rows"):
     return left, right
 
 
-def _local_windows(xw, offsets, H, nl):
-    """Shifted reads of the halo-extended local vector (length nl + 2H)."""
-    return [jax.lax.dynamic_slice(xw, (H + o,), (nl,)) for o in offsets]
-
-
 def dist_dia_spmv(mesh: Mesh, offsets, data: jax.Array, x: jax.Array,
                   halo: int) -> jax.Array:
-    """y = A x with row-sharded DIA data (k, n) and x (n,)."""
+    """y = A x with row-sharded DIA data (k, n) and x (n,).
+
+    Communication/compute overlap (SURVEY.md §7 hard part 4): the halo
+    ``ppermute`` is issued first, then the *interior* contribution — local
+    zero-padded shifted reads, independent of the halo — so XLA schedules the
+    collective-permute asynchronously behind the bulk FMA pass.  Only the
+    O(k·H) boundary rows are corrected from the halos afterwards."""
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(None, "rows"), P("rows")), out_specs=P("rows"))
     def f(dl, xl):
         nl = xl.shape[0]
         left, right = _ring_halo(xl, halo)
-        xw = jnp.concatenate([left, xl, right])
-        segs = _local_windows(xw, offsets, halo, nl)
-        acc = dl[0] * segs[0]
+        # interior pass: no data dependency on left/right → overlaps comm
+        acc = dl[0] * shift_read(xl, offsets[0])
         for d in range(1, len(offsets)):
-            acc = acc + dl[d] * segs[d]
+            acc = acc + dl[d] * shift_read(xl, offsets[d])
+        # boundary corrections: |o| rows per diagonal read from the halos
+        for d, o in enumerate(offsets):
+            if o < 0:
+                acc = acc.at[:-o].add(dl[d][:-o] * left[halo + o:])
+            elif o > 0:
+                acc = acc.at[nl - o:].add(dl[d][nl - o:] * right[:o])
         return acc
 
     return f(data, x)
@@ -299,15 +305,25 @@ class DistBlockDiaSolver:
                  in_specs=(P(None, "rows", None, None), P("rows", None)),
                  out_specs=P("rows", None))
         def f(dl, xl):
+            # interior block products first (independent of the halo), so the
+            # collective-permute overlaps the batched MXU matmuls; then
+            # correct the |o| boundary block-rows per diagonal
             nl = xl.shape[0]
             left, right = _ring_halo(xl, H)
-            xw = jnp.concatenate([left, xl, right], axis=0)
             acc = None
             for d, o in enumerate(offsets):
-                seg = jax.lax.dynamic_slice(xw, (H + o, 0), (nl, xl.shape[1]))
-                term = jnp.einsum("rij,rj->ri", dl[d], seg,
+                term = jnp.einsum("rij,rj->ri", dl[d], shift_read(xl, o),
                                   preferred_element_type=xl.dtype)
                 acc = term if acc is None else acc + term
+            for d, o in enumerate(offsets):
+                if o < 0:
+                    acc = acc.at[:-o].add(jnp.einsum(
+                        "rij,rj->ri", dl[d][:-o], left[H + o:],
+                        preferred_element_type=xl.dtype))
+                elif o > 0:
+                    acc = acc.at[nl - o:].add(jnp.einsum(
+                        "rij,rj->ri", dl[d][nl - o:], right[:o],
+                        preferred_element_type=xl.dtype))
             return acc
 
         return f(self.data, x)
