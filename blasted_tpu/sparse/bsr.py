@@ -91,6 +91,36 @@ class BSRMatrix:
     def pad(self, width: int | None = None) -> "PaddedBSR":
         return PaddedBSR.from_bsr(self, width)
 
+    # -- diagnostic queries (reference: blockmatrices.hpp:419-445; the
+    #    scalar diagonal of a BSR matrix = diagonals of its diagonal blocks)
+
+    def diag_entries(self) -> np.ndarray:
+        dblocks = np.asarray(self.vals)[np.asarray(self.diagind)]
+        return np.diagonal(dblocks, axis1=-2, axis2=-1).reshape(-1)
+
+    def zero_diagonal_row(self) -> int:
+        from .csr import _zero_diagonal_row
+        return _zero_diagonal_row(self.diag_entries())
+
+    def num_zero_diagonals(self) -> int:
+        return int((self.diag_entries() == 0).sum())
+
+    def diagonal_product(self) -> float:
+        return float(self.diag_entries().prod())
+
+    def diagonal_abs_sum(self) -> float:
+        return float(np.abs(self.diag_entries()).sum())
+
+    def abs_min_diagonal(self) -> float:
+        return float(np.abs(self.diag_entries()).min())
+
+    def abs_max_diagonal(self) -> float:
+        return float(np.abs(self.diag_entries()).max())
+
+    def is_equal(self, other: "BSRMatrix", tol: float) -> tuple:
+        from .csr import _is_equal
+        return _is_equal(self, other, tol)
+
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)

@@ -103,6 +103,55 @@ class CSRMatrix:
     def pad(self, width: int | None = None) -> "PaddedCSR":
         return PaddedCSR.from_csr(self, width)
 
+    # -- diagnostic queries (reference: blockmatrices.hpp:419-445) ----------
+
+    def diag_entries(self) -> np.ndarray:
+        """Host array of the scalar diagonal entries a_ii."""
+        return np.asarray(self.vals)[np.asarray(self.diagind)]
+
+    def zero_diagonal_row(self) -> int:
+        """First row with a zero diagonal, −1 if none
+        (reference: zeroDiagonalRow, blockmatrices.ipp)."""
+        return _zero_diagonal_row(self.diag_entries())
+
+    def num_zero_diagonals(self) -> int:
+        return int((self.diag_entries() == 0).sum())
+
+    def diagonal_product(self) -> float:
+        return float(self.diag_entries().prod())
+
+    def diagonal_abs_sum(self) -> float:
+        return float(np.abs(self.diag_entries()).sum())
+
+    def abs_min_diagonal(self) -> float:
+        return float(np.abs(self.diag_entries()).min())
+
+    def abs_max_diagonal(self) -> float:
+        return float(np.abs(self.diag_entries()).max())
+
+    def is_equal(self, other: "CSRMatrix", tol: float) -> tuple:
+        """5 booleans: equal (nrows, rowptr, colind, vals within tol,
+        diagind) — reference isEqual (blockmatrices.hpp:429)."""
+        return _is_equal(self, other, tol)
+
+
+def _zero_diagonal_row(diag: np.ndarray) -> int:
+    z = np.nonzero(diag == 0)[0]
+    return int(z[0]) if z.size else -1
+
+
+def _is_equal(a, b, tol: float) -> tuple:
+    same_n = a.nrows == b.nrows
+    same_rp = same_n and bool(
+        np.array_equal(np.asarray(a.rowptr), np.asarray(b.rowptr)))
+    same_ci = same_rp and bool(
+        np.array_equal(np.asarray(a.colind), np.asarray(b.colind)))
+    same_v = same_ci and bool(
+        np.all(np.abs(np.asarray(a.vals) - np.asarray(b.vals)) <= tol))
+    same_di = same_n and bool(
+        np.array_equal(np.asarray(a.diagind), np.asarray(b.diagind)))
+    return (same_n, same_rp, same_ci, same_v, same_di)
+
 
 def _compute_diagind(rowptr: np.ndarray, colind: np.ndarray) -> np.ndarray:
     """Position of each row's diagonal entry (vectorised: one global

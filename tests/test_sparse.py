@@ -157,3 +157,39 @@ def test_padded_repad_vals():
     new_vals = np.asarray(A.vals) * 3.0
     vp = np.asarray(P.repad_vals(new_vals))
     np.testing.assert_allclose(vp, np.asarray(P.vals_pad) * 3.0)
+
+
+def test_diagnostic_queries_csr():
+    """Container diagnostics (reference: blockmatrices.hpp:419-445 —
+    zeroDiagonalRow, getNumZeroDiagonals, getDiagonalProduct,
+    getDiagonalAbsSum, getAbsMin/MaxDiagonalEntry, isEqual)."""
+    A = random_csr(25, density=0.2, seed=11)
+    d = np.asarray(A.vals)[np.asarray(A.diagind)]
+    assert A.zero_diagonal_row() == -1
+    assert A.num_zero_diagonals() == 0
+    np.testing.assert_allclose(A.diagonal_product(), d.prod())
+    np.testing.assert_allclose(A.diagonal_abs_sum(), np.abs(d).sum())
+    np.testing.assert_allclose(A.abs_min_diagonal(), np.abs(d).min())
+    np.testing.assert_allclose(A.abs_max_diagonal(), np.abs(d).max())
+    # plant a zero diagonal
+    v = np.asarray(A.vals).copy()
+    v[np.asarray(A.diagind)[7]] = 0.0
+    Z = A.with_vals(v)
+    assert Z.zero_diagonal_row() == 7
+    assert Z.num_zero_diagonals() == 1
+
+    assert A.is_equal(A, 0.0) == (True,) * 5
+    B = A.with_vals(np.asarray(A.vals) + 1e-12)
+    n, rp, ci, vals_eq, di = A.is_equal(B, 1e-10)
+    assert (n, rp, ci, vals_eq, di) == (True,) * 5
+    n, rp, ci, vals_eq, di = A.is_equal(B, 1e-14)
+    assert (n, rp, ci, di) == (True,) * 4 and not vals_eq
+
+
+def test_diagnostic_queries_bsr():
+    B = random_bsr(10, 3, density=0.3, seed=12)
+    d = np.diagonal(np.asarray(B.vals)[np.asarray(B.diagind)],
+                    axis1=-2, axis2=-1).reshape(-1)
+    assert B.diag_entries().shape == (30,)
+    np.testing.assert_allclose(B.diagonal_abs_sum(), np.abs(d).sum())
+    assert B.is_equal(B, 0.0) == (True,) * 5
