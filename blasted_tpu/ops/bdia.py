@@ -14,7 +14,8 @@ import jax.numpy as jnp
 from ..sparse.bdia import BlockDiaMatrix
 from ..sparse.dia import shift_read
 
-__all__ = ["bdia_mv", "bdia_spmv", "bdia_lower_mv", "bdia_upper_mv"]
+__all__ = ["bdia_mv", "bdia_spmv", "bdia_gemv3", "bdia_lower_mv",
+           "bdia_upper_mv"]
 
 
 def _term(blocks: jax.Array, seg: jax.Array) -> jax.Array:
@@ -38,6 +39,12 @@ def bdia_mv(A: BlockDiaMatrix, data: jax.Array, x: jax.Array,
 
 def bdia_spmv(A: BlockDiaMatrix, x: jax.Array) -> jax.Array:
     return bdia_mv(A, A.data, x, "all")
+
+
+def bdia_gemv3(A: BlockDiaMatrix, a, x: jax.Array, b, y: jax.Array) -> jax.Array:
+    """z = a·A·x + b·y on (nbrows, bs) block vectors (reference: gemv3,
+    src/blas/matvecs.cpp:107-182); fuses into the batched-matmul pass."""
+    return a * bdia_mv(A, A.data, x, "all") + b * y
 
 
 def bdia_lower_mv(A: BlockDiaMatrix, data: jax.Array, x: jax.Array) -> jax.Array:

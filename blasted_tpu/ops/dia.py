@@ -41,6 +41,12 @@ def dia_spmv(A: DiaMatrix, x: jax.Array) -> jax.Array:
     return dia_mv(A, A.data, x, "all")
 
 
+def dia_gemv3(A: DiaMatrix, a, x: jax.Array, b, y: jax.Array) -> jax.Array:
+    """z = a·A·x + b·y (reference: gemv3, src/blas/matvecs.cpp:24-182);
+    the scale/accumulate fuses into the shifted-FMA SpMV pass under jit."""
+    return a * dia_mv(A, A.data, x, "all") + b * y
+
+
 def dia_lower_mv(A: DiaMatrix, data: jax.Array, x: jax.Array) -> jax.Array:
     return dia_mv(A, data, x, "lower")
 

@@ -31,31 +31,52 @@ from ..factory import create_preconditioner
 from ..sparse.csr import CSRMatrix, PaddedCSR
 from .partition import DistCSR, partition_csr
 
-__all__ = ["make_mesh", "shard_vector", "dist_spmv", "LocalBlockPreconditioner",
-           "DistributedSolver"]
+__all__ = ["make_mesh", "row_axes", "shard_vector", "dist_spmv",
+           "LocalBlockPreconditioner", "DistributedSolver"]
 
 
-def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+def make_mesh(n_devices: int | None = None, devices=None,
+              shape=None, axes=None) -> Mesh:
+    """1-D row mesh by default; pass ``shape=(nhosts, nchips)`` (with default
+    ``axes=("dcn", "ici")``) for a multi-host topology — every distributed
+    component row-shards over *all* mesh axes flattened (see :func:`row_axes`),
+    so the same code rides ICI within a slice and DCN across slices."""
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
             devices = devices[:n_devices]
-    return Mesh(np.array(devices), ("rows",))
+    devices = np.array(devices)
+    if shape is not None:
+        devices = devices.reshape(shape)
+    if axes is None:
+        axes = ("rows",) if devices.ndim == 1 else ("dcn", "ici")[:devices.ndim]
+    if len(axes) != devices.ndim:
+        raise ValueError(f"{len(axes)} axis names for a {devices.ndim}-D mesh")
+    return Mesh(devices, tuple(axes))
+
+
+def row_axes(mesh: Mesh) -> tuple:
+    """The mesh axes rows are sharded over: all of them, flattened.
+    Collectives take this tuple directly (ppermute/all_gather/psum treat it
+    as one linearised axis, DCN-major)."""
+    return tuple(mesh.axis_names)
 
 
 def shard_vector(mesh: Mesh, x) -> jax.Array:
-    return jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("rows")))
+    return jax.device_put(jnp.asarray(x),
+                          NamedSharding(mesh, P(row_axes(mesh))))
 
 
 def shard_dist_csr(mesh: Mesh, dA: DistCSR) -> DistCSR:
     """Place the partitioned matrix on the mesh: global row arrays sharded on
     axis 0; stacked local blocks sharded on the shard axis."""
-    row2 = NamedSharding(mesh, P("rows", None))
+    ax = row_axes(mesh)
+    row2 = NamedSharding(mesh, P(ax, None))
     dcol = jax.device_put(dA.colind, row2)
     dval = jax.device_put(dA.vals_pad, row2)
     local = jax.tree_util.tree_map(
         lambda a: jax.device_put(
-            a, NamedSharding(mesh, P(*(("rows",) + (None,) * (a.ndim - 1))))),
+            a, NamedSharding(mesh, P(*((ax,) + (None,) * (a.ndim - 1))))),
         dA.local)
     return DistCSR(colind=dcol, vals_pad=dval, local=local, nshards=dA.nshards)
 
@@ -70,11 +91,13 @@ def dist_spmv(mesh: Mesh, colind: jax.Array, vals_pad: jax.Array,
     to PETSc's MatMult, SURVEY.md §2.5 P8.)
     """
 
+    ax = row_axes(mesh)
+
     @partial(shard_map, mesh=mesh,
-             in_specs=(P("rows", None), P("rows", None), P("rows")),
-             out_specs=P("rows"))
+             in_specs=(P(ax, None), P(ax, None), P(ax)),
+             out_specs=P(ax))
     def f(ci, vp, xl):
-        xg = jax.lax.all_gather(xl, "rows", tiled=True)      # (n,)
+        xg = jax.lax.all_gather(xl, ax, tiled=True)          # (n,)
         xe = jnp.concatenate([xg, jnp.zeros(1, xg.dtype)])   # sentinel slot
         return jnp.sum(vp * xe[ci], axis=1)
 
@@ -116,11 +139,12 @@ class LocalBlockPreconditioner:
             self._sym_patch = {"nlow": max(s.nlow for s in syms),
                                "nup": max(s.nup for s in syms)}
         # stack state pytrees on the shard axis and shard them
+        ax = row_axes(self.mesh)
         stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
         self._state = jax.tree_util.tree_map(
             lambda a: jax.device_put(
                 a, NamedSharding(self.mesh,
-                                 P(*(("rows",) + (None,) * (a.ndim - 1))))),
+                                 P(*((ax,) + (None,) * (a.ndim - 1))))),
             stacked)
         return self
 
@@ -147,14 +171,15 @@ class LocalBlockPreconditioner:
                 q.symbolic = q.symbolic._replace(**sym_patch)
             return q.apply(rl)
 
+        ax = row_axes(mesh)
         specs_mat = jax.tree_util.tree_map(
-            lambda a: P(*(("rows",) + (None,) * (a.ndim - 1))), local)
+            lambda a: P(*((ax,) + (None,) * (a.ndim - 1))), local)
         specs_state = jax.tree_util.tree_map(
-            lambda a: P(*(("rows",) + (None,) * (a.ndim - 1))), state)
+            lambda a: P(*((ax,) + (None,) * (a.ndim - 1))), state)
 
         f = shard_map(local_apply, mesh=mesh,
-                      in_specs=(specs_mat, specs_state, P("rows")),
-                      out_specs=P("rows"))
+                      in_specs=(specs_mat, specs_state, P(ax)),
+                      out_specs=P(ax))
         return f(local, state, r)
 
 

@@ -25,13 +25,14 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ApplyInit, AsyncSolverSettings, FactInit, PrecType
+from .dist import row_axes
 from ..precond.dia_ilu0 import dia_factor_sweep, dia_pairs
 from ..sparse.dia import DiaMatrix, shift_read
 
 __all__ = ["DistDiaSolver", "DistBlockDiaSolver", "dist_dia_spmv"]
 
 
-def _ring_halo(xl, H, axis="rows"):
+def _ring_halo(xl, H, axis):
     """Exchange H-entry boundary strips with ring neighbours; zero at the
     non-periodic ends."""
     nd = jax.lax.axis_size(axis)
@@ -55,11 +56,13 @@ def dist_dia_spmv(mesh: Mesh, offsets, data: jax.Array, x: jax.Array,
     collective-permute asynchronously behind the bulk FMA pass.  Only the
     O(k·H) boundary rows are corrected from the halos afterwards."""
 
+    ax = row_axes(mesh)
+
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(None, "rows"), P("rows")), out_specs=P("rows"))
+             in_specs=(P(None, ax), P(ax)), out_specs=P(ax))
     def f(dl, xl):
         nl = xl.shape[0]
-        left, right = _ring_halo(xl, halo)
+        left, right = _ring_halo(xl, halo, ax)
         # interior pass: no data dependency on left/right → overlaps comm
         acc = dl[0] * shift_read(xl, offsets[0])
         for d in range(1, len(offsets)):
@@ -100,7 +103,8 @@ class DistDiaSolver:
         self.settings = settings or AsyncSolverSettings(
             prec_type=PrecType.JACOBI)
 
-        sh2 = NamedSharding(mesh, P(None, "rows"))
+        self._ax = row_axes(mesh)
+        sh2 = NamedSharding(mesh, P(None, self._ax))
         self.data = jax.device_put(A.data, sh2)
         self.mask = jax.device_put(A.mask, sh2)
         self._prec_state = None
@@ -122,9 +126,11 @@ class DistDiaSolver:
         nsweeps = max(s.nbuildsweeps, 1)
         nl = self.nl
 
+        ax = self._ax
+
         @partial(shard_map, mesh=mesh,
-                 in_specs=(P(None, "rows"), P(None, "rows")),
-                 out_specs=(P(None, "rows"), P("rows")))
+                 in_specs=(P(None, ax), P(None, ax)),
+                 out_specs=(P(None, ax), P(ax)))
         def setup(dl, ml):
             # local-block mask: entries crossing the shard boundary drop out
             r = jnp.arange(nl)
@@ -172,9 +178,11 @@ class DistDiaSolver:
         lower = [d for d, o in enumerate(offsets) if o < 0]
         upper = [d for d, o in enumerate(offsets) if o > 0]
 
+        ax = self._ax
+
         @partial(shard_map, mesh=self.mesh,
-                 in_specs=(P(None, "rows"), P("rows"), P("rows")),
-                 out_specs=P("rows"))
+                 in_specs=(P(None, ax), P(ax), P(ax)),
+                 out_specs=P(ax))
         def apply_local(vl, di, rl):
             # no communication: shifts read zero beyond the shard (bjacobi)
             def tri_mv(sel, y):
@@ -249,10 +257,11 @@ class DistBlockDiaSolver:
             raise ValueError("band wider than a shard; use the general path")
         self.settings = settings or AsyncSolverSettings(
             prec_type=PrecType.JACOBI)
+        self._ax = row_axes(mesh)
         self.data = jax.device_put(
-            B.data, NamedSharding(mesh, P(None, "rows", None, None)))
+            B.data, NamedSharding(mesh, P(None, self._ax, None, None)))
         self.mask = jax.device_put(
-            B.mask, NamedSharding(mesh, P(None, "rows")))
+            B.mask, NamedSharding(mesh, P(None, self._ax)))
         self._compute()
 
     def _compute(self):
@@ -271,10 +280,12 @@ class DistBlockDiaSolver:
         nsweeps = max(s.nbuildsweeps, 1)
         nl, bs = self.nl, self.bs
 
+        ax = self._ax
+
         @partial(shard_map, mesh=self.mesh,
-                 in_specs=(P(None, "rows", None, None), P(None, "rows")),
-                 out_specs=(P(None, "rows", None, None),
-                            P("rows", None, None)))
+                 in_specs=(P(None, ax, None, None), P(None, ax)),
+                 out_specs=(P(None, ax, None, None),
+                            P(ax, None, None)))
         def setup(dl, ml):
             r = jnp.arange(nl)
             local_ok = jnp.stack(
@@ -300,16 +311,17 @@ class DistBlockDiaSolver:
     def amat(self, x: jax.Array) -> jax.Array:
         """x is the row-sharded (nbrows, bs) global block vector."""
         offsets, H = self.offsets, self.halo
+        ax = self._ax
 
         @partial(shard_map, mesh=self.mesh,
-                 in_specs=(P(None, "rows", None, None), P("rows", None)),
-                 out_specs=P("rows", None))
+                 in_specs=(P(None, ax, None, None), P(ax, None)),
+                 out_specs=P(ax, None))
         def f(dl, xl):
             # interior block products first (independent of the halo), so the
             # collective-permute overlaps the batched MXU matmuls; then
             # correct the |o| boundary block-rows per diagonal
             nl = xl.shape[0]
-            left, right = _ring_halo(xl, H)
+            left, right = _ring_halo(xl, H, ax)
             acc = None
             for d, o in enumerate(offsets):
                 term = jnp.einsum("rij,rj->ri", dl[d], shift_read(xl, o),
@@ -339,10 +351,12 @@ class DistBlockDiaSolver:
         lower = [d for d, o in enumerate(offsets) if o < 0]
         upper = [d for d, o in enumerate(offsets) if o > 0]
 
+        ax = self._ax
+
         @partial(shard_map, mesh=self.mesh,
-                 in_specs=(P(None, "rows", None, None),
-                           P("rows", None, None), P("rows", None)),
-                 out_specs=P("rows", None))
+                 in_specs=(P(None, ax, None, None),
+                           P(ax, None, None), P(ax, None)),
+                 out_specs=P(ax, None))
         def apply_local(vl, di, rl):
             def dmul(seg):
                 return jnp.einsum("rij,rj->ri", di, seg,
@@ -390,9 +404,9 @@ class DistBlockDiaSolver:
                   "richardson": richardson}[method]
         bs = self.bs
         bseg = jax.device_put(jnp.asarray(np.asarray(b)).reshape(-1, bs),
-                              NamedSharding(self.mesh, P("rows", None)))
+                              NamedSharding(self.mesh, P(self._ax, None)))
         x0s = (jax.device_put(jnp.asarray(np.asarray(x0)).reshape(-1, bs),
-                              NamedSharding(self.mesh, P("rows", None)))
+                              NamedSharding(self.mesh, P(self._ax, None)))
                if x0 is not None else jnp.zeros_like(bseg))
 
         def amat_flat(x):

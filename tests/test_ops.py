@@ -126,3 +126,50 @@ def test_poisson3d_generator():
         xu = np.linalg.solve(Au.to_scipy().toarray(), bu)
         errs.append(np.abs(xu - uu).max())
     assert errs[1] < 0.35 * errs[0]
+
+
+def test_dia_gemv3():
+    from blasted_tpu.ops.dia import dia_gemv3
+    from blasted_tpu.sparse.dia import dia_from_csr
+
+    A, _, _ = poisson3d_system((8, 8, 8), dist="chebyshev")
+    D = dia_from_csr(A)
+    rng = np.random.default_rng(4)
+    x, y = rng.standard_normal(D.nrows), rng.standard_normal(D.nrows)
+    z = np.asarray(dia_gemv3(D, jnp.asarray(-1.0), jnp.asarray(x),
+                             jnp.asarray(1.0), jnp.asarray(y)))
+    np.testing.assert_allclose(z, -(D.to_scipy() @ x) + y,
+                               rtol=1e-13, atol=1e-13)
+
+
+def test_bdia_gemv3():
+    from blasted_tpu.ops.bdia import bdia_gemv3
+    from blasted_tpu.sparse.bdia import bdia_from_bsr
+
+    B = random_bsr(16, 3, density=0.0, seed=5)  # density ignored below
+    # build a genuinely banded block matrix: tri-block-diagonal
+    import scipy.sparse as sps
+    nb, bs = 16, 3
+    rng = np.random.default_rng(6)
+    blocks = {}
+    for o in (-1, 0, 1):
+        for i in range(max(0, -o), min(nb, nb - o)):
+            blocks[(i, i + o)] = (rng.standard_normal((bs, bs)) * 0.2
+                                  + (np.eye(bs) * 3 if o == 0 else 0))
+    rows = np.array([k[0] for k in blocks], dtype=np.int64)
+    cols = np.array([k[1] for k in blocks], dtype=np.int64)
+    order = np.lexsort((cols, rows))
+    from blasted_tpu.sparse import BSRMatrix
+    rowptr = np.searchsorted(rows[order], np.arange(nb + 1))
+    Bm = BSRMatrix.from_arrays(
+        rowptr.astype(np.int32), cols[order].astype(np.int32),
+        np.stack([blocks[(rows[o_], cols[o_])] for o_ in order]), bs)
+    D = bdia_from_bsr(Bm)
+    x = rng.standard_normal(nb * bs)
+    y = rng.standard_normal(nb * bs)
+    z = np.asarray(bdia_gemv3(D, jnp.asarray(2.0),
+                              jnp.asarray(x.reshape(-1, bs)),
+                              jnp.asarray(-1.0),
+                              jnp.asarray(y.reshape(-1, bs)))).reshape(-1)
+    np.testing.assert_allclose(z, 2.0 * (Bm.to_scipy() @ x) - y,
+                               rtol=1e-12, atol=1e-12)

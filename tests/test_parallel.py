@@ -188,3 +188,34 @@ def test_dist_block_dia_solver():
     assert bool(info.converged)
     err = np.abs(np.asarray(xsol) - xref).max() / np.abs(xref).max()
     assert err < 1e-8
+
+
+def test_2d_mesh_dcn_ici_equivalence():
+    """Multi-host topology: rows sharded over a 2-D (dcn, ici) mesh must give
+    the same answers as the 1-D mesh — same code, collectives over the
+    flattened axis tuple (the scaling-book multi-slice recipe)."""
+    import scipy.sparse as sps
+    from blasted_tpu.parallel import make_mesh
+    from blasted_tpu.parallel.dist import DistributedSolver, shard_vector
+    from blasted_tpu.parallel.dist_dia import DistDiaSolver
+    from blasted_tpu.sparse.dia import dia_from_csr
+
+    A, b, _ = poisson3d_system((6, 6, 10), dist="chebyshev")
+    b = np.asarray(b)
+    sp = A.to_scipy()
+    mesh2 = make_mesh(8, shape=(2, 4))
+    assert mesh2.axis_names == ("dcn", "ici")
+
+    # banded halo path on the 2-D mesh
+    ds = DistDiaSolver(dia_from_csr(A), mesh2, AsyncSolverSettings(
+        prec_type=PrecType.ILU0, nbuildsweeps=3, napplysweeps=3))
+    x, info = ds.solve(b, tol=1e-10, maxiter=400)
+    r = sp @ np.asarray(x) - b
+    assert bool(info.converged)
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-9
+
+    # general all-gather path on the 2-D mesh
+    gs = DistributedSolver(A, mesh2, AsyncSolverSettings(
+        prec_type=PrecType.JACOBI))
+    y2 = np.asarray(gs.amat(shard_vector(mesh2, b)))
+    np.testing.assert_allclose(y2, sp @ b, rtol=1e-12, atol=1e-12)
