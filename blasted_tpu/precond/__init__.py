@@ -2,6 +2,7 @@
 
 from .base import NoPreconditioner, Preconditioner, PrecInfo, SolveParams
 from .ilu0 import BlockILU0Preconditioner, ILU0Preconditioner
+from .inner import InnerKrylovPreconditioner
 from .ilu_pattern import ILUPositions, compute_ilu_positions, pad_ilu_positions
 from .jacobi import BJacobiPreconditioner, JacobiPreconditioner
 from .level_sgs import (
@@ -18,6 +19,7 @@ from .sgs import (
 )
 
 __all__ = [
+    "InnerKrylovPreconditioner",
     "NoPreconditioner", "Preconditioner", "PrecInfo", "SolveParams",
     "JacobiPreconditioner", "BJacobiPreconditioner",
     "SGSPreconditioner", "BSGSPreconditioner",

@@ -299,3 +299,47 @@ def test_precinfo_remainder_decreases():
                             compute_precinfo=True)
     info2 = p2.compute()
     assert float(info2.prec_remainder_norm) < 1e-10
+
+
+def test_inner_krylov_preconditioner():
+    """PCKSP-leaf analogue (reference walker blasted_petsc.cpp:631-637):
+    a bounded inner Richardson/ILU0 solve as the outer GCR's preconditioner
+    must beat the bare leaf preconditioner's outer iteration count."""
+    import jax.numpy as jnp
+
+    from blasted_tpu import AsyncSolverSettings, PrecType, create_preconditioner
+    from blasted_tpu.apps import poisson3d_system
+    from blasted_tpu.ops.spmv import spmv
+    from blasted_tpu.precond.inner import InnerKrylovPreconditioner
+    from blasted_tpu.solvers import gcr
+
+    A, b, _ = poisson3d_system((10, 10, 10), dist="chebyshev")
+    P = A.pad()
+    bj = jnp.asarray(np.asarray(b))
+
+    def amat(v):
+        return spmv(P, v)
+
+    leaf = create_preconditioner(
+        P, AsyncSolverSettings(prec_type=PrecType.ILU0,
+                               nbuildsweeps=3, napplysweeps=3))
+    leaf.compute()
+    x_leaf, info_leaf = gcr(amat, leaf.apply_flat, bj, jnp.zeros_like(bj),
+                            tol=1e-9, maxiter=300)
+
+    inner = InnerKrylovPreconditioner(amat, leaf, method="richardson",
+                                      inner_iters=4)
+    inner.compute()
+    x_in, info_in = gcr(amat, inner.apply_flat, bj, jnp.zeros_like(bj),
+                        tol=1e-9, maxiter=300)
+
+    sp = A.to_scipy()
+    for x, info in ((x_leaf, info_leaf), (x_in, info_in)):
+        assert bool(info.converged)
+        r = sp @ np.asarray(x) - np.asarray(b)
+        assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 1e-7
+    # the nested stack does more work per apply -> far fewer outer iterations
+    assert int(info_in.iters) < int(info_leaf.iters)
+
+    with pytest.raises(NotImplementedError):
+        inner.apply_relax(bj, bj)
