@@ -34,6 +34,10 @@ class PrecType(enum.Enum):
     CSC_BGS = "cscbgs"             # backward GS on the CSC transpose view
     SAI = "sai"                    # sparse approximate inverse (full LS)
     ISAI = "isai"                  # incomplete SAI
+    AMG = "amg"                    # aggregation multigrid with blasted
+                                   # smoothers per level (TPU addition; the
+                                   # reference reaches MG via PETSc PCMG/GAMG,
+                                   # blasted_petsc.cpp:610-630)
 
 
 class FactInit(enum.Enum):

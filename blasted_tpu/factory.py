@@ -110,11 +110,21 @@ def rcm_banded_device_matrix(mat, max_diags: int = 128,
 
 def create_preconditioner(mat, settings: SolverSettings) -> Preconditioner:
     """(reference: SRFactory::create_preconditioner, solverfactory.cpp:129-230)"""
-    P = _padded(mat)
-    is_block = isinstance(P, (PaddedBSR, BlockDiaMatrix))
     t = settings.prec_type
     s = settings if isinstance(settings, AsyncSolverSettings) \
         else AsyncSolverSettings(prec_type=t)
+
+    if t == PrecType.AMG:         # needs the host container, not a padded form
+        from .precond.multigrid import AMGSettings, MultigridPreconditioner
+        if not isinstance(mat, (CSRMatrix, BSRMatrix)):
+            raise ValueError("amg builds its hierarchy from the host "
+                             "container; pass a CSRMatrix/BSRMatrix")
+        smoother = AsyncSolverSettings(
+            prec_type=PrecType.SGS, napplysweeps=max(1, s.napplysweeps))
+        return MultigridPreconditioner(mat, AMGSettings(smoother=smoother))
+
+    P = _padded(mat)
+    is_block = isinstance(P, (PaddedBSR, BlockDiaMatrix))
 
     if t == PrecType.NONE:
         return NoPreconditioner(P)

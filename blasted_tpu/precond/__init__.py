@@ -3,6 +3,7 @@
 from .base import NoPreconditioner, Preconditioner, PrecInfo, SolveParams
 from .ilu0 import BlockILU0Preconditioner, ILU0Preconditioner
 from .inner import InnerKrylovPreconditioner
+from .multigrid import AMGSettings, MultigridPreconditioner
 from .ilu_pattern import ILUPositions, compute_ilu_positions, pad_ilu_positions
 from .jacobi import BJacobiPreconditioner, JacobiPreconditioner
 from .level_sgs import (
@@ -20,6 +21,7 @@ from .sgs import (
 
 __all__ = [
     "InnerKrylovPreconditioner",
+    "AMGSettings", "MultigridPreconditioner",
     "NoPreconditioner", "Preconditioner", "PrecInfo", "SolveParams",
     "JacobiPreconditioner", "BJacobiPreconditioner",
     "SGSPreconditioner", "BSGSPreconditioner",
