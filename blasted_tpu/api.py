@@ -155,8 +155,12 @@ def setup_local_preconditioner(A, options=None) -> SolverContext:
         options = BlastedOptions.from_dict(options)
     elif isinstance(options, (list, tuple)):
         options = BlastedOptions.from_argv(options)
-    D = to_device_matrix(A, prefer_dia=options.prefer_dia) \
-        if not hasattr(A, "vals_pad") and not hasattr(A, "data") else A
+    if options.pc_type == "amg":
+        D = A   # the AMG hierarchy is built from the host container; its
+        #         levels pick their own device formats (precond/multigrid.py)
+    else:
+        D = to_device_matrix(A, prefer_dia=options.prefer_dia) \
+            if not hasattr(A, "vals_pad") and not hasattr(A, "data") else A
     ctx = SolverContext(options=options)
     ctx.prec = create_preconditioner(D, options.settings())
     ctx.first_setup_done = True
@@ -209,6 +213,9 @@ def solve(A, b, options=None, mesh=None, x0=None):
         options = BlastedOptions.from_argv(options)
 
     if mesh is not None:
+        if options.pc_type == "amg":
+            raise ValueError("amg is single-device for now; use it as the "
+                             "local preconditioner without a mesh")
         from .parallel import DistributedSolver
 
         kw = {"nrestart": options.restart} if options.ksp_type in ("gcr", "gmres") else {}
@@ -250,7 +257,14 @@ def solve(A, b, options=None, mesh=None, x0=None):
                 D = D2
             else:
                 reord = None
-    ctx = setup_local_preconditioner(D, options)
+    if options.pc_type == "amg":
+        A_host = A
+        if reord is not None:
+            from .precond.reordering import FORWARD
+            A_host = reord.apply_to_matrix(A, FORWARD)
+        ctx = setup_local_preconditioner(A_host, options)
+    else:
+        ctx = setup_local_preconditioner(D, options)
     compute_preconditioner(ctx)
 
     from .ops.spmv import spmv

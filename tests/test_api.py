@@ -146,3 +146,27 @@ def test_solve_unstructured_rcm_banding():
     assert isinstance(ctx.prec.mat, DiaMatrix)
     err = np.abs(np.asarray(x) - xref).max() / np.abs(xref).max()
     assert err < 1e-8
+
+
+def test_one_call_solve_amg():
+    """'-blasted_pc_type amg' routes through the hierarchy-from-host path
+    (the PCMG-analogue, precond/multigrid.py) in the one-call driver."""
+    from blasted_tpu.precond import MultigridPreconditioner
+
+    A, b, _ = poisson3d_system((12, 12, 12), dist="chebyshev")
+    xref = np.linalg.solve(A.to_scipy().toarray(), b)
+    x, info, ctx = solve(A, b, {"blasted_pc_type": "amg",
+                                "ksp_type": "cg", "rtol": 1e-10,
+                                "maxiter": 500})
+    assert bool(info.converged)
+    assert isinstance(ctx.prec, MultigridPreconditioner)
+    err = np.abs(np.asarray(x) - xref).max() / np.abs(xref).max()
+    assert err < 1e-6
+
+    import jax
+
+    if len(jax.devices()) >= 4:
+        from blasted_tpu.parallel import make_mesh
+
+        with pytest.raises(ValueError):
+            solve(A, b, {"blasted_pc_type": "amg"}, mesh=make_mesh(4))
