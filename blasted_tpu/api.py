@@ -213,14 +213,17 @@ def solve(A, b, options=None, mesh=None, x0=None):
         options = BlastedOptions.from_argv(options)
 
     if mesh is not None:
-        if options.pc_type == "amg":
-            raise ValueError("amg is single-device for now; use it as the "
-                             "local preconditioner without a mesh")
         from .parallel import DistributedSolver
 
         kw = {"nrestart": options.restart} if options.ksp_type in ("gcr", "gmres") else {}
         ds = None
-        if options.prefer_dia:
+        if options.pc_type == "amg":
+            # global MG hierarchy, shard-local smoothers per level — the
+            # reference's PCMG/PCGAMG + per-rank-blasted pattern
+            from .parallel.dist_mg import DistMGSolver
+
+            ds = DistMGSolver(A, mesh)
+        if ds is None and options.prefer_dia:
             # banded fast path: ppermute neighbour halo exchange + fully
             # on-device shard-local preconditioners (parallel/dist_dia.py)
             from .parallel.dist_dia import DistBlockDiaSolver, DistDiaSolver

@@ -8,10 +8,11 @@ from .dist import (
     shard_dist_csr,
     shard_vector,
 )
+from .dist_mg import DistMGSolver
 from .partition import DistCSR, partition_csr
 
 __all__ = [
-    "DistributedSolver", "LocalBlockPreconditioner", "dist_spmv",
-    "make_mesh", "shard_dist_csr", "shard_vector",
+    "DistributedSolver", "DistMGSolver", "LocalBlockPreconditioner",
+    "dist_spmv", "make_mesh", "shard_dist_csr", "shard_vector",
     "DistCSR", "partition_csr",
 ]

@@ -166,7 +166,16 @@ def test_one_call_solve_amg():
     import jax
 
     if len(jax.devices()) >= 4:
+        # mesh route: global hierarchy, shard-local smoothers (dist_mg.py)
         from blasted_tpu.parallel import make_mesh
+        from blasted_tpu.parallel.dist_mg import DistMGSolver
 
-        with pytest.raises(ValueError):
-            solve(A, b, {"blasted_pc_type": "amg"}, mesh=make_mesh(4))
+        A, b, _ = poisson3d_system((18, 18, 16), dist="uniform")  # 4096 rows
+        xref = np.linalg.solve(A.to_scipy().toarray(), b)
+        x, info, ds = solve(A, b, {"blasted_pc_type": "amg",
+                                   "ksp_type": "cg", "rtol": 1e-10,
+                                   "maxiter": 500}, mesh=make_mesh(4))
+        assert isinstance(ds, DistMGSolver)
+        assert bool(info.converged)
+        err = np.abs(np.asarray(x) - xref).max() / np.abs(xref).max()
+        assert err < 1e-6
