@@ -119,8 +119,11 @@ def create_preconditioner(mat, settings: SolverSettings) -> Preconditioner:
         if not isinstance(mat, (CSRMatrix, BSRMatrix)):
             raise ValueError("amg builds its hierarchy from the host "
                              "container; pass a CSRMatrix/BSRMatrix")
+        # ns=1 triangular sweeps have no Gauss-Seidel character (the first
+        # Jacobi-on-triangular sweep from zero is just D^-1) and make a poor
+        # smoother — measured 47 vs 12 outer iterations at 32^3; floor at 2.
         smoother = AsyncSolverSettings(
-            prec_type=PrecType.SGS, napplysweeps=max(1, s.napplysweeps))
+            prec_type=PrecType.SGS, napplysweeps=max(2, s.napplysweeps))
         return MultigridPreconditioner(mat, AMGSettings(smoother=smoother))
 
     P = _padded(mat)

@@ -53,7 +53,7 @@ from ..sparse.csr import CSRMatrix
 from .base import Preconditioner, PrecInfo
 
 __all__ = ["AMGSettings", "MultigridPreconditioner", "build_hierarchy",
-           "aggregation_prolongator"]
+           "aggregation_prolongator", "brick_prolongator"]
 
 
 @dataclass(frozen=True)
@@ -66,6 +66,13 @@ class AMGSettings:
     """
 
     group: int = 4                # rows per aggregate (AGMG double-pairs ≙ 4)
+    # structured grids: isotropic brick aggregation instead of index blocks.
+    # grid_shape = interior points (nx, ny, nz), x-fastest ordering (the
+    # Poisson generator's / DMDA natural ordering); transfers stay pure
+    # reshapes (zero gathers) and iteration counts stay mesh-independent,
+    # where deep 1-D index-block coarsening degrades (semicoarsening).
+    grid_shape: tuple | None = None
+    brick: tuple = (2, 2, 2)
     max_levels: int = 12
     coarse_size: int = 200       # switch to the exact dense solve below this
     cycle: str = "v"             # "v" or "w"
@@ -73,6 +80,14 @@ class AMGSettings:
     npost: int = 1               # post-smoothing steps
     smooth_prolongator: bool = False   # damped-Jacobi smoothed P (classic SA)
     omega_scale: float = 4.0 / 3.0     # SA damping = omega_scale / rho(D^-1 A)
+    # level smoothing: "factory" wraps any blasted operator (settings below)
+    # in Richardson steps; "jacobi" is damped point Jacobi with per-level
+    # ω = jacobi_omega/ρ(D⁻¹A) — the cheapest pure-streaming smoother, the
+    # best measured time-to-solution on TPU; "chebyshev" is the classic
+    # polynomial smoother (cheby_degree SpMVs per step, no triangular work)
+    smoother_kind: str = "factory"
+    jacobi_omega: float = 1.4          # damping × 1/ρ(D⁻¹A)
+    cheby_degree: int = 2
     smoother: AsyncSolverSettings = field(
         default_factory=lambda: AsyncSolverSettings(
             prec_type=PrecType.SGS, napplysweeps=2))
@@ -97,25 +112,56 @@ def aggregation_prolongator(n: int, group: int, A_sp=None,
     T = sps.csr_matrix((np.ones(n), (rows, cols)), shape=(n, nc))
     if not smooth:
         return T, 0.0
+    return _smooth_prolongator(T, A_sp, omega_scale)
 
+
+def _rho_dinv_a(A_sp) -> float:
+    """Safe upper bound on ρ(D⁻¹A): the Gershgorin row-sum bound
+    max_i Σ_j |a_ij|/|a_ii| (= 2 exactly for M-matrix stencils).
+
+    An *upper* bound is required: Chebyshev smoothing amplifies modes above
+    its interval, and a short power iteration underestimates ρ when the
+    spectrum clusters (measured: 1.62 vs true ≈2 on the Poisson stencil,
+    turning the Chebyshev-smoothed cycle divergent)."""
     d = A_sp.diagonal()
     if np.any(d == 0):
-        raise ValueError("smoothed prolongator needs a zero-free diagonal")
-    Dinv = sps.diags(1.0 / d)
-    DA = (Dinv @ A_sp).tocsr()
-    # power iteration for rho(D^-1 A)
-    rng_free = np.cos(np.arange(n, dtype=np.float64))  # deterministic seed
-    v = rng_free / np.linalg.norm(rng_free)
-    rho = 1.0
-    for _ in range(12):
-        w = DA @ v
-        rho = float(np.linalg.norm(w))
-        if rho == 0.0:
-            break
-        v = w / rho
-    omega = omega_scale / max(rho, 1e-30)
-    P = (T - omega * (DA @ T)).tocsr()
+        raise ValueError("Jacobi-scaled smoothing needs a zero-free diagonal")
+    absrow = np.asarray(abs(A_sp).sum(axis=1)).ravel()
+    return float(np.max(absrow / np.abs(d)))
+
+
+def _smooth_prolongator(T, A_sp, omega_scale: float):
+    """Damped-Jacobi smoothing of a tentative prolongator:
+    ``P = (I − ω D⁻¹ A) T`` with ``ω = omega_scale / ρ(D⁻¹A)``."""
+    import scipy.sparse as sps
+
+    omega = omega_scale / _rho_dinv_a(A_sp)
+    Dinv = sps.diags(1.0 / A_sp.diagonal())
+    P = (T - omega * ((Dinv @ A_sp) @ T)).tocsr()
     return P, omega
+
+
+def brick_prolongator(shape: tuple, brick: tuple):
+    """Host-side tentative prolongator for ``brick`` aggregation of a
+    structured grid with x-fastest natural ordering.
+
+    Returns ``(T, coarse_shape)``; every dim of ``shape`` must be divisible
+    by the corresponding brick edge.
+    """
+    import scipy.sparse as sps
+
+    nx, ny, nz = shape
+    bx, by, bz = brick
+    if nx % bx or ny % by or nz % bz:
+        raise ValueError(f"grid {shape} not divisible by brick {brick}")
+    cx, cy, cz = nx // bx, ny // by, nz // bz
+    i, j, k = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                          indexing="ij")
+    rows = (i + nx * j + nx * ny * k).reshape(-1)
+    cols = ((i // bx) + cx * (j // by) + cx * cy * (k // bz)).reshape(-1)
+    n, ncoarse = nx * ny * nz, cx * cy * cz
+    T = sps.csr_matrix((np.ones(n), (rows, cols)), shape=(n, ncoarse))
+    return T, (cx, cy, cz)
 
 
 class _Level(NamedTuple):
@@ -126,9 +172,12 @@ class _Level(NamedTuple):
     group: int
     A_dev: object                 # DiaMatrix or PaddedCSR
     AT_dev: object | None         # for the smoothed-restriction transpose
-    smoother: Preconditioner
+    smoother: Preconditioner | None
     omega: float
-    dinv: jax.Array | None        # only when omega != 0
+    dinv: jax.Array | None
+    shape: tuple | None = None    # structured-grid mode: fine (nx, ny, nz)
+    brick: tuple | None = None    # and the brick edges (bx, by, bz)
+    rho: float = 0.0              # ρ(D⁻¹A) estimate (jacobi/chebyshev kinds)
 
 
 def _to_scipy_csr(mat):
@@ -158,30 +207,55 @@ def build_hierarchy(A0, settings: AMGSettings):
     A_sp = _to_scipy_csr(A0)
     levels = []
     g = settings.group
+    shape = settings.grid_shape
+    brick = settings.brick
+    if shape is not None and int(np.prod(shape)) != A_sp.shape[0]:
+        raise ValueError(f"grid_shape {shape} does not match "
+                         f"nrows {A_sp.shape[0]}")
     while (A_sp.shape[0] > settings.coarse_size
            and len(levels) < settings.max_levels - 1):
         n = A_sp.shape[0]
-        P, omega = aggregation_prolongator(
-            n, g, A_sp, smooth=settings.smooth_prolongator,
-            omega_scale=settings.omega_scale)
+        cur_shape = cur_brick = None
+        if shape is not None and all(
+                s % b == 0 for s, b in zip(shape, brick)):
+            cur_shape, cur_brick = shape, brick
+            T, coarse_shape = brick_prolongator(shape, brick)
+            if settings.smooth_prolongator:
+                P, omega = _smooth_prolongator(
+                    T, A_sp, settings.omega_scale)
+            else:
+                P, omega = T, 0.0
+            grp = int(np.prod(brick))
+            shape = coarse_shape
+        else:
+            shape = None   # fell off the structured path; index blocks onward
+            grp = g
+            P, omega = aggregation_prolongator(
+                n, g, A_sp, smooth=settings.smooth_prolongator,
+                omega_scale=settings.omega_scale)
         Ac = (P.T @ A_sp @ P).tocsr()
         Ac.eliminate_zeros()
         Ac.sort_indices()
 
         A_host = CSRMatrix.from_scipy(A_sp)
         A_dev = to_device_matrix(A_host)
-        smoother = create_preconditioner(A_dev, settings.smoother)
-        dinv = None
+        kind = settings.smoother_kind
+        smoother = (create_preconditioner(A_dev, settings.smoother)
+                    if kind == "factory" else None)
+        if kind not in ("factory", "jacobi", "chebyshev"):
+            raise ValueError(f"unknown smoother_kind {kind!r}")
+        rho = _rho_dinv_a(A_sp) if kind in ("jacobi", "chebyshev") else 0.0
+        dinv = jnp.asarray(1.0 / A_sp.diagonal())
         AT_dev = None
         if omega != 0.0:
-            dinv = jnp.asarray(1.0 / A_sp.diagonal())
             asym = abs(A_sp - A_sp.T)
             if asym.nnz and asym.max() > 1e-12 * abs(A_sp).max():
                 AT_dev = to_device_matrix(
                     CSRMatrix.from_scipy(A_sp.T.tocsr()))
-        levels.append(_Level(n=n, nc=P.shape[1], group=g, A_dev=A_dev,
+        levels.append(_Level(n=n, nc=P.shape[1], group=grp, A_dev=A_dev,
                              AT_dev=AT_dev, smoother=smoother, omega=omega,
-                             dinv=dinv))
+                             dinv=dinv, shape=cur_shape, brick=cur_brick,
+                             rho=rho))
         A_sp = Ac
 
     A_coarse = jnp.asarray(A_sp.toarray())
@@ -189,8 +263,17 @@ def build_hierarchy(A0, settings: AMGSettings):
 
 
 def _prolong(lev: _Level, xc: jax.Array) -> jax.Array:
-    """P @ xc with zero gathers: repeat + optional damped-Jacobi smoothing."""
-    y = jnp.broadcast_to(xc[:, None], (lev.nc, lev.group)).reshape(-1)[:lev.n]
+    """P @ xc with zero gathers: repeat (index blocks) or 3-D broadcast
+    (grid bricks), + optional damped-Jacobi smoothing."""
+    if lev.shape is not None:
+        nx, ny, nz = lev.shape
+        bx, by, bz = lev.brick
+        cx, cy, cz = nx // bx, ny // by, nz // bz
+        y = jnp.broadcast_to(xc.reshape(cz, 1, cy, 1, cx, 1),
+                             (cz, bz, cy, by, cx, bx)).reshape(-1)
+    else:
+        y = jnp.broadcast_to(xc[:, None],
+                             (lev.nc, lev.group)).reshape(-1)[:lev.n]
     if lev.omega != 0.0:
         y = y - lev.omega * lev.dinv * spmv(lev.A_dev, y)
     return y
@@ -201,6 +284,11 @@ def _restrict(lev: _Level, r: jax.Array) -> jax.Array:
     if lev.omega != 0.0:
         At = lev.AT_dev if lev.AT_dev is not None else lev.A_dev
         r = r - lev.omega * spmv(At, lev.dinv * r)
+    if lev.shape is not None:
+        nx, ny, nz = lev.shape
+        bx, by, bz = lev.brick
+        return r.reshape(nz // bz, bz, ny // by, by, nx // bx, bx) \
+                .sum(axis=(1, 3, 5)).reshape(-1)
     pad = lev.nc * lev.group - lev.n
     if pad:
         r = jnp.concatenate([r, jnp.zeros((pad,), r.dtype)])
@@ -241,6 +329,8 @@ class MultigridPreconditioner(Preconditioner):
                 self.mat, self.settings)
         info = PrecInfo()
         for li, lev in enumerate(self.levels):   # numeric smoother factorizations
+            if lev.smoother is None:   # jacobi/chebyshev kinds: dinv-only
+                continue
             lev_info = lev.smoother.compute()
             if li == 0:               # report the fine level's diagnostics
                 info = lev_info
@@ -250,6 +340,30 @@ class MultigridPreconditioner(Preconditioner):
     # -- the cycle -----------------------------------------------------------
 
     def _smooth(self, lev: _Level, b, x, steps: int):
+        s = self.settings
+        if s.smoother_kind == "jacobi":
+            om = s.jacobi_omega / lev.rho
+            for _ in range(steps):
+                x = x + om * lev.dinv * (b - spmv(lev.A_dev, x))
+            return x
+        if s.smoother_kind == "chebyshev":
+            # Chebyshev on D⁻¹A over [ρ/4, ρ] (standard smoothing interval)
+            lmax = lev.rho * 1.05
+            lmin = lmax / 4.0
+            theta = 0.5 * (lmax + lmin)
+            delta = 0.5 * (lmax - lmin)
+            for _ in range(steps):
+                sigma = theta / delta
+                rho_c = 1.0 / sigma
+                d = lev.dinv * (b - spmv(lev.A_dev, x)) / theta
+                x = x + d
+                for _ in range(s.cheby_degree - 1):
+                    rho_new = 1.0 / (2.0 * sigma - rho_c)
+                    r = lev.dinv * (b - spmv(lev.A_dev, x))
+                    d = rho_new * rho_c * d + (2.0 * rho_new / delta) * r
+                    x = x + d
+                    rho_c = rho_new
+            return x
         for _ in range(steps):
             x = x + lev.smoother.apply_flat(b - spmv(lev.A_dev, x))
         return x

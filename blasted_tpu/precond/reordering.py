@@ -28,6 +28,7 @@ from ..sparse.bsr import BSRMatrix
 from ..sparse.csr import CSRMatrix
 
 __all__ = ["Reordering", "RCMReordering", "MaxDiagonalScaling",
+           "MaxMatchingReordering",
            "apply_ordering_matrix", "apply_ordering_vector"]
 
 FORWARD = "forward"
@@ -197,6 +198,111 @@ class RCMReordering(Reordering):
         perm = np.asarray(reverse_cuthill_mckee(sp, symmetric_mode=True),
                           dtype=np.int64)
         self.set_ordering(perm, perm)
+
+
+class MaxMatchingReordering(Reordering):
+    """Open-algorithm analogue of MC64's five jobs
+    (reference: ``MC64`` subclass of ReorderingScaling, reorderingscaling.hpp
+    + src/reorderingscaling.cpp mc64ad_ wrapper, HAVE_MC64 only; job
+    semantics per the HSL MC64 spec, exercised in tests/mat_ops/testmc64.cpp):
+
+    1. maximise the *number of nonzero* diagonal entries
+       (maximum-cardinality bipartite matching),
+    2. maximise the *smallest* |diagonal| entry (bottleneck matching via
+       binary search over entry magnitudes + perfect-matching feasibility),
+    3. same objective as 2 (MC64 jobs 2/3 differ only in algorithm),
+    4. maximise the diagonal |sum| (max-weight assignment),
+    5. maximise the diagonal |product| (assignment on −log|a|), plus
+       symmetric equilibration scalings of the permuted matrix (MC64's LP
+       duals are replaced by s = 1/√|ã_ii|).
+
+    Produces a row permutation: FORWARD application puts the matched entry of
+    column i on the diagonal of row i.
+    """
+
+    def __init__(self, job: int = 5):
+        super().__init__()
+        if job not in (1, 2, 3, 4, 5):
+            raise ValueError("MC64-analogue job must be in 1..5")
+        self.job = job
+        self.row_scale = None
+        self.col_scale = None
+
+    @staticmethod
+    def _matching_to_rp(rows_m, cols_m, n) -> np.ndarray:
+        rp = np.full(n, -1, dtype=np.int64)
+        rp[cols_m] = rows_m                   # rp[col] = matched row
+        missing_rows = np.setdiff1d(np.arange(n), rows_m, assume_unique=False)
+        rp[rp < 0] = missing_rows             # structurally-singular leftover
+        return rp
+
+    def compute(self, A) -> None:
+        import scipy.sparse as sps
+        import scipy.sparse.csgraph as csg
+
+        # copy: to_scipy() may wrap read-only buffers and tocsr() is a no-op
+        sp = A.to_scipy().tocsr().copy()
+        sp.eliminate_zeros()
+        n = sp.shape[0]
+        absA = abs(sp)
+
+        if self.job == 1:
+            m = csg.maximum_bipartite_matching(sp, perm_type="row")
+            cols = np.flatnonzero(m >= 0)
+            self.set_ordering(self._matching_to_rp(m[cols], cols, n), None)
+            return
+
+        if self.job in (2, 3):
+            # bottleneck: largest t such that {|a| >= t} has a perfect matching
+            vals = np.unique(np.abs(sp.data))
+            lo, hi = 0, len(vals) - 1
+            best = None
+            while lo <= hi:
+                mid = (lo + hi) // 2
+                filt = sp.copy()
+                filt.data = np.where(np.abs(filt.data) >= vals[mid],
+                                     1.0, 0.0)
+                filt.eliminate_zeros()
+                m = csg.maximum_bipartite_matching(filt.tocsr(),
+                                                   perm_type="row")
+                if (m >= 0).all():
+                    best = m
+                    lo = mid + 1
+                else:
+                    hi = mid - 1
+            if best is None:        # structurally singular: fall back to job 1
+                m = csg.maximum_bipartite_matching(sp, perm_type="row")
+                cols = np.flatnonzero(m >= 0)
+                self.set_ordering(self._matching_to_rp(m[cols], cols, n), None)
+                return
+            self.set_ordering(self._matching_to_rp(
+                best, np.arange(n), n), None)
+            return
+
+        # jobs 4/5: full assignment on transformed weights.  Minimising
+        # Σ(C − |a|) over perfect matchings maximises Σ|a| (job 4);
+        # minimising Σ(−log|a|) maximises Π|a| (job 5).  Weights are kept
+        # strictly positive because the CSR sparse LAP treats stored zeros
+        # as missing edges.
+        w = absA.copy()
+        if self.job == 4:
+            C = float(w.data.max()) * (1.0 + 1e-12) + 1.0
+            w.data = C - w.data
+        else:
+            tiny = np.finfo(np.float64).tiny
+            w.data = 1.0 + np.log(float(w.data.max()) + tiny) \
+                - np.log(w.data + tiny)
+        rows_m, cols_m = csg.min_weight_full_bipartite_matching(w.tocsr())
+        self.set_ordering(self._matching_to_rp(rows_m, cols_m, n), None)
+
+        if self.job == 5:
+            # equilibration of the permuted matrix (MC64 dual-variable
+            # scalings replaced by the symmetric Jacobi form)
+            perm = sp[self.rp]
+            d = np.abs(perm.diagonal())
+            d[d == 0] = 1.0
+            self.row_scale = 1.0 / np.sqrt(d)
+            self.col_scale = 1.0 / np.sqrt(d)
 
 
 class MaxDiagonalScaling(Reordering):

@@ -142,3 +142,75 @@ def test_max_product_matching_permutation():
     d_before = np.abs(dense.diagonal())
     assert d_after.min() > 0
     assert np.sum(np.log(d_after)) > np.sum(np.log(np.abs(d_before) + 1e-300))
+
+
+@pytest.mark.parametrize("job", [1, 2, 3, 4, 5])
+def test_max_matching_jobs(job):
+    """MC64-job analogue (reference: tests/mat_ops/testmc64.cpp): the job's
+    diagonal quality metric must not degrade under the FORWARD permutation,
+    and INVERSE must restore the original matrix exactly."""
+    import scipy.sparse as sps
+
+    from blasted_tpu.precond.reordering import MaxMatchingReordering
+    from blasted_tpu.sparse.csr import CSRMatrix
+
+    rng = np.random.default_rng(13)
+    n = 40
+    # weak / partially-zero diagonal hidden behind strong shifted structure
+    dense = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.25)
+    for i in range(n):
+        dense[i, (i + 7) % n] = 10.0 + rng.random()
+        if i % 3 == 0:
+            dense[i, i] = 0.0       # some zero diagonals to repair
+        else:
+            dense[i, i] = 0.01 * rng.random()
+    # keep the diagonal *structurally* present (explicit zeros): the CSR
+    # container requires a stored diagonal position in every row.  (COO
+    # duplicate-summing keeps zero-valued positions; csr addition prunes.)
+    base = sps.csr_matrix(dense).tocoo()
+    rows = np.concatenate([base.row, np.arange(n)])
+    cols = np.concatenate([base.col, np.arange(n)])
+    data = np.concatenate([base.data, np.zeros(n)])
+    spm = sps.csr_matrix((data, (rows, cols)), shape=(n, n))
+    spm.sort_indices()
+    A = CSRMatrix.from_scipy(spm)
+
+    def metric(M):
+        d = np.asarray(M.to_scipy().diagonal())
+        if job == 1:
+            return np.count_nonzero(d)
+        if job in (2, 3):
+            return np.abs(d).min()
+        if job == 4:
+            return np.abs(d).sum()
+        return np.log(np.abs(d) + 1e-300).sum()   # log-product (job 5)
+
+    r = MaxMatchingReordering(job)
+    r.compute(A)
+    At = r.apply_to_matrix(A, FORWARD)
+    assert metric(At) >= metric(A)
+    if job in (1, 2, 3):
+        # the matched diagonal must be structurally full
+        assert np.count_nonzero(np.asarray(At.to_scipy().diagonal())) == 40
+
+    # round-trip (reference asserts the 5-way isEqual after INVERSE)
+    back = r.apply_to_matrix(At, INVERSE)
+    ok = A.is_equal(back, 1e-15)
+    assert all(bool(v) for v in ok)
+
+    if job == 5:
+        assert r.row_scale is not None
+        # scalings equilibrate the permuted diagonal to exactly 1
+        import scipy.sparse as sp2
+        S = sp2.diags(r.row_scale)
+        scaled = (S @ At.to_scipy() @ sp2.diags(r.col_scale)).tocsr()
+        d = np.abs(scaled.diagonal())
+        nzd = d[d > 0]
+        np.testing.assert_allclose(nzd, 1.0, rtol=1e-10)
+
+
+def test_max_matching_invalid_job():
+    from blasted_tpu.precond.reordering import MaxMatchingReordering
+
+    with pytest.raises(ValueError):
+        MaxMatchingReordering(0)
