@@ -165,18 +165,21 @@ def create_preconditioner(mat, settings: SolverSettings) -> Preconditioner:
             return BlockDiaILU0Preconditioner(
                 P, nbuildsweeps=nbuild, napplysweeps=napply,
                 use_scaling=s.use_symmetric_scaling,
-                fact_init=s.fact_init, apply_init=s.apply_init)
+                fact_init=s.fact_init, apply_init=s.apply_init,
+                compute_precinfo=s.compute_precinfo)
         if is_block:
             return BlockILU0Preconditioner(
                 P, nbuildsweeps=nbuild, napplysweeps=napply,
                 use_scaling=s.use_symmetric_scaling,
-                fact_init=s.fact_init, apply_init=s.apply_init)
+                fact_init=s.fact_init, apply_init=s.apply_init,
+                compute_precinfo=s.compute_precinfo)
         if isinstance(P, DiaMatrix):
             from .precond.dia_ilu0 import DiaILU0Preconditioner
             return DiaILU0Preconditioner(
                 P, nbuildsweeps=nbuild, napplysweeps=napply,
                 use_scaling=s.use_symmetric_scaling,
-                fact_init=s.fact_init, apply_init=s.apply_init)
+                fact_init=s.fact_init, apply_init=s.apply_init,
+                compute_precinfo=s.compute_precinfo)
         return ILU0Preconditioner(
             P, nbuildsweeps=nbuild, napplysweeps=napply,
             use_scaling=s.use_symmetric_scaling,

@@ -131,13 +131,11 @@ class LocalBlockPreconditioner:
         for p in self._shard_precs:
             p.compute()
             states.append(p.apply_state())
-        # per-shard static level counts may differ; the template must loop to
-        # the max (extra masked levels are no-ops)
-        self._sym_patch = {}
-        syms = [getattr(p, "symbolic", None) for p in self._shard_precs]
-        if all(s is not None for s in syms) and syms:
-            self._sym_patch = {"nlow": max(s.nlow for s in syms),
-                               "nup": max(s.nup for s in syms)}
+        # template instance for tracing apply_with across shards: static
+        # configuration (wavefront trip counts etc.) widened to cover every
+        # shard (Preconditioner.patched_for_shards)
+        self._template = self._shard_precs[0].patched_for_shards(
+            self._shard_precs)
         # stack state pytrees on the shard axis and shard them
         ax = row_axes(self.mesh)
         stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
@@ -153,23 +151,16 @@ class LocalBlockPreconditioner:
         mesh = self.mesh
         local = self.dA.local
         state = self._state
-        p0 = self._shard_precs[0]
-
-        sym_patch = self._sym_patch
+        template = self._template
 
         def local_apply(local_mat_sl, state_sl, rl):
             # device-local slices arrive with a leading length-1 shard axis
             mat = jax.tree_util.tree_map(lambda a: a[0], local_mat_sl)
             st = jax.tree_util.tree_map(lambda a: a[0], state_sl)
-            # graft the local state onto a template instance; apply is pure
-            # in (mat, state, r) so tracing with substituted values is sound
-            q = type(p0).__new__(type(p0))
-            q.__dict__.update(p0.__dict__)
-            q.mat = mat
-            q.state = st
-            if sym_patch and getattr(q, "symbolic", None) is not None:
-                q.symbolic = q.symbolic._replace(**sym_patch)
-            return q.apply(rl)
+            # the shard-state protocol: apply_with is pure in (mat, state, r)
+            # (precond/base.py), so tracing once with each device's slice
+            # substituted is sound by contract, not by accident
+            return template.apply_with(mat, st, rl)
 
         ax = row_axes(mesh)
         specs_mat = jax.tree_util.tree_map(

@@ -65,10 +65,43 @@ class Preconditioner:
         raise NotImplementedError
 
     def apply(self, r: jax.Array) -> jax.Array:
-        raise NotImplementedError
+        """Default: delegate to the explicit-state protocol."""
+        return self.apply_with(self.mat, self.state, r)
+
+    def apply_with(self, mat, state, r: jax.Array) -> jax.Array:
+        """Apply reading ONLY ``(mat, state, r)`` plus static configuration
+        (sweep counts, level counts) from ``self`` — the shard-state protocol
+        for distribution (parallel/dist.py): ``LocalBlockPreconditioner``
+        traces this once under ``shard_map`` with each device's slice of the
+        stacked per-shard ``(mat, state)`` pytrees substituted.  Concrete
+        operators implement this instead of :meth:`apply`; anything read from
+        ``self`` here must be identical across shards."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not implement the shard-state "
+            "apply protocol (apply_with)")
 
     def apply_relax(self, b: jax.Array, x: jax.Array) -> jax.Array:
         raise NotImplementedError
+
+    def update_values(self, vals) -> None:
+        """Push new numerical values through the existing operator, keeping
+        every symbolic/cached structure (patterns, levels, padding) — the
+        PCSetUp-every-Newton-step workflow (reference: blasted_petsc.cpp
+        :314-327 re-factorizes in place over cached symbolic data;
+        applications re-assemble via updateBlock, blockmatrices.ipp:354).
+
+        ``vals`` is the flat nnz value array (CSR ``(nnz,)``,
+        BSR ``(nnzb, bs, bs)``) or the DIA band data
+        (``(k, n)`` / ``(k, nb, bs, bs)``).  Call :meth:`compute` afterwards
+        to re-factorize with the new values.
+        """
+        if hasattr(self.mat, "with_new_vals"):
+            self.mat = self.mat.with_new_vals(vals)
+        elif hasattr(self.mat, "with_new_data"):
+            self.mat = self.mat.with_new_data(vals)
+        else:
+            raise TypeError(
+                f"{type(self.mat).__name__} has no value-update form")
 
     def set_apply_params(self, params: SolveParams) -> None:
         """(reference: solverops_base.hpp setApplyParams)"""
@@ -81,6 +114,14 @@ class Preconditioner:
         state contains shard-varying shapes (e.g. flat nnz arrays) override
         this to drop them."""
         return self.state
+
+    def patched_for_shards(self, precs) -> "Preconditioner":
+        """Return the template instance used to trace :meth:`apply_with`
+        across all shards: static configuration read from ``self`` inside
+        ``apply_with`` must cover every shard in ``precs`` (e.g. wavefront
+        loop trip counts become the max over shards — extra masked levels are
+        no-ops).  Default: no shard-varying statics, return self."""
+        return self
 
     # -- adapters -----------------------------------------------------------
 
@@ -104,7 +145,7 @@ class NoPreconditioner(Preconditioner):
         self.state = ()
         return PrecInfo()
 
-    def apply(self, r: jax.Array) -> jax.Array:
+    def apply_with(self, mat, state, r: jax.Array) -> jax.Array:
         return r
 
     def apply_relax(self, b: jax.Array, x: jax.Array) -> jax.Array:

@@ -114,13 +114,14 @@ class DiaILU0Preconditioner(Preconditioner):
                  napplysweeps: int = 1, use_scaling: bool = False,
                  fact_init: FactInit = FactInit.ORIGINAL,
                  apply_init: ApplyInit = ApplyInit.ZERO,
-                 apply_dtype=None):
+                 apply_dtype=None, compute_precinfo: bool = False):
         super().__init__(mat)
         self.nbuildsweeps = nbuildsweeps
         self.napplysweeps = napplysweeps
         self.use_scaling = use_scaling
         self.fact_init = fact_init
         self.apply_init = apply_init
+        self.compute_precinfo = compute_precinfo
         # Mixed-precision apply (TPU-first): factor in full precision, store
         # the factors for the triangular sweeps in a narrower dtype (e.g.
         # jnp.bfloat16).  Preconditioner accuracy tolerates this; the Krylov
@@ -207,6 +208,7 @@ class DiaILU0Preconditioner(Preconditioner):
             return dia_factor_sweep_tuple(offsets, pairs, d0, mask_t,
                                           base_t, v)
 
+        info0 = self._nonlinear_res(base, ilu) if self.compute_precinfo else 0.0
         if self.nbuildsweeps == SEQUENTIAL:
             lev = low  # factorization wavefronts == lower-solve wavefronts
 
@@ -231,11 +233,39 @@ class DiaILU0Preconditioner(Preconditioner):
             low_level=low,
             up_level=up,
         )
+        if self.compute_precinfo:
+            from .diagnostics import diagonal_dominance
+            info1 = self._nonlinear_res(base, ilu)
+            ldd_avg, ldd_min, udd_avg, udd_min = diagonal_dominance(A, ilu)
+            return PrecInfo(prec_rem_initial_norm=info0,
+                            prec_remainder_norm=info1,
+                            lower_avg_diag_dom=ldd_avg,
+                            lower_min_diag_dom=ldd_min,
+                            upper_avg_diag_dom=udd_avg,
+                            upper_min_diag_dom=udd_min)
         return PrecInfo()
 
-    def apply(self, r: jax.Array) -> jax.Array:
-        st = self.state
+    def _nonlinear_res(self, base, ilu):
+        """ILU fixed-point remainder Σ|â − Σ l·u − (l·u_cc | u)| on DIA
+        storage (reference: scalar_ilu0_nonlinear_res,
+        async_ilu_factor.cpp:179-217), per diagonal with shifted reads."""
         A = self.mat
+        udiag = ilu[self._d0]
+        total = jnp.zeros((), base.dtype)
+        for d, o in enumerate(A.offsets):
+            s = base[d]
+            for (dl, du, o1) in self._pairs[d]:
+                s = s - ilu[dl] * shift_read(ilu[du], o1)
+            if o < 0:
+                s = s - ilu[d] * shift_read(udiag, o)
+            else:
+                s = s - ilu[d]
+            total = total + jnp.sum(jnp.abs(jnp.where(A.mask[d], s, 0.0)))
+        return total
+
+    def apply_with(self, mat, state, r: jax.Array) -> jax.Array:
+        st = state
+        A = mat
         _, nlow, _, nup, _ = self._build_levels()
         z = st.scale * r if st.scale is not None else r
 
@@ -254,6 +284,15 @@ class DiaILU0Preconditioner(Preconditioner):
                               z0)
 
         return st.scale * zout if st.scale is not None else zout
+
+    def patched_for_shards(self, precs):
+        import copy
+        q = copy.copy(self)
+        shards = [p._build_levels() for p in precs]
+        me = self._build_levels()
+        q._levels = (me[0], max(s[1] for s in shards),
+                     me[2], max(s[3] for s in shards), me[4])
+        return q
 
     def apply_relax(self, b, x):
         raise NotImplementedError("ILU relaxation not implemented "

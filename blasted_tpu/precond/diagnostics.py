@@ -21,7 +21,8 @@ from ..sparse.bsr import PaddedBSR
 from ..sparse.csr import PaddedCSR
 from ..sparse.dia import DiaMatrix
 
-__all__ = ["diagonal_dominance", "block_diagonal_dominance"]
+__all__ = ["diagonal_dominance", "block_diagonal_dominance",
+           "bdia_block_diagonal_dominance"]
 
 
 def diagonal_dominance(A, vals) -> tuple:
@@ -63,6 +64,27 @@ def block_diagonal_dominance(A: PaddedBSR, vals_pad: jax.Array) -> tuple:
     offdiag = jnp.where(eye, 0.0, jnp.abs(dblk)).sum(axis=2)   # (nbrows, bs)
     usum = usum + offdiag
     ddiag = jnp.abs(jnp.diagonal(dblk, axis1=1, axis2=2))       # (nbrows, bs)
+    ldd = 1.0 - lsum
+    udd = 1.0 - usum / ddiag
+    return (jnp.mean(ldd), jnp.min(ldd), jnp.mean(udd), jnp.min(udd))
+
+
+def bdia_block_diagonal_dominance(A, ilu: jax.Array) -> tuple:
+    """Block diagonal dominance on block-DIA factor storage
+    (same quantities as :func:`block_diagonal_dominance`; reference:
+    matrix_properties.cpp:19-75).  ``ilu`` is ``(k, nbrows, bs, bs)``;
+    masked slots are structurally zero and contribute nothing."""
+    bs = A.bs
+    low = [d for d, o in enumerate(A.offsets) if o < 0]
+    up = [d for d, o in enumerate(A.offsets) if o > 0]
+    d0 = A.offsets.index(0)
+    zero = jnp.zeros((A.nbrows, bs), ilu.dtype)
+    lsum = sum((jnp.abs(ilu[d]).sum(axis=2) for d in low), zero)
+    usum = sum((jnp.abs(ilu[d]).sum(axis=2) for d in up), zero)
+    dblk = ilu[d0]
+    eye = jnp.eye(bs, dtype=bool)
+    usum = usum + jnp.where(eye, 0.0, jnp.abs(dblk)).sum(axis=2)
+    ddiag = jnp.abs(jnp.diagonal(dblk, axis1=1, axis2=2))
     ldd = 1.0 - lsum
     udd = 1.0 - usum / ddiag
     return (jnp.mean(ldd), jnp.min(ldd), jnp.mean(udd), jnp.min(udd))

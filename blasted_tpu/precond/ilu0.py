@@ -145,21 +145,18 @@ class ILU0Preconditioner(Preconditioner):
         self.apply_init = apply_init
         self.compute_precinfo = compute_precinfo
         self.symbolic: _ILUSymbolic | None = None
-        self._vals = None  # flat (nnz,) original values, reconstructed once
+        self._vals = None  # flat (nnz,) values of the *current* matrix
 
     # -- setup --------------------------------------------------------------
 
     def _ensure_symbolic(self):
+        """Symbolic data is computed once per sparsity pattern and survives
+        :meth:`~.base.Preconditioner.update_values` (reference caches plist
+        across compute() calls, solverops_ilu0.cpp:193-196); values are
+        re-read from the current matrix on every compute()."""
         if self.symbolic is None:
             self.symbolic = _build_symbolic(self.mat)
-            # flat original values from the padded form
-            nnz = int(np.asarray(self.mat.nnz_total))
-            pos = np.asarray(self.mat.pos)
-            vp = np.asarray(self.mat.vals_pad)
-            vals = np.zeros(nnz, dtype=vp.dtype)
-            valid = pos < nnz
-            vals[pos[valid]] = vp[valid]
-            self._vals = jnp.asarray(vals)
+        self._vals = self.mat.flat_vals()
 
     def _scaled_vals(self, scale):
         sym = self.symbolic
@@ -255,11 +252,11 @@ class ILU0Preconditioner(Preconditioner):
 
     # -- apply --------------------------------------------------------------
 
-    def apply(self, r: jax.Array) -> jax.Array:
+    def apply_with(self, mat, state, r: jax.Array) -> jax.Array:
         """Solve LU z ≈ r by sweep (or exact wavefront) triangular solves
         (reference: scalar_ilu0_apply, solverops_ilu0.cpp:240-321)."""
-        st, sym = self.state, self.symbolic
-        A = self.mat
+        st, sym = state, self.symbolic
+        A = mat
         z = st.scale * r if st.scale is not None else r
 
         if self.napplysweeps == SEQUENTIAL:
@@ -282,6 +279,15 @@ class ILU0Preconditioner(Preconditioner):
         # not read by apply(); drop it for stacking
         return self.state._replace(ilu=jnp.zeros((0,), self.state.ilu.dtype))
 
+    def patched_for_shards(self, precs):
+        # wavefront trip counts become the max over shards (extra levels no-op)
+        import copy
+        q = copy.copy(self)
+        q.symbolic = self.symbolic._replace(
+            nlow=max(p.symbolic.nlow for p in precs),
+            nup=max(p.symbolic.nup for p in precs))
+        return q
+
     def apply_relax(self, b, x):
         raise NotImplementedError("ILU relaxation not implemented "
                                   "(matches reference, solverops_ilu0.cpp:378-383)")
@@ -299,27 +305,23 @@ class BlockILU0Preconditioner(Preconditioner):
     def __init__(self, mat: PaddedBSR, nbuildsweeps: int = 1,
                  napplysweeps: int = 1, use_scaling: bool = False,
                  fact_init: FactInit = FactInit.ORIGINAL,
-                 apply_init: ApplyInit = ApplyInit.ZERO):
+                 apply_init: ApplyInit = ApplyInit.ZERO,
+                 compute_precinfo: bool = False):
         super().__init__(mat)
         self.nbuildsweeps = nbuildsweeps
         self.napplysweeps = napplysweeps
         self.use_scaling = use_scaling
         self.fact_init = fact_init
         self.apply_init = apply_init
+        self.compute_precinfo = compute_precinfo
         self.symbolic: _ILUSymbolic | None = None
-        self._vals = None
+        self._vals = None  # (nnzb, bs, bs) values of the *current* matrix
 
     def _ensure_symbolic(self):
+        """See :meth:`ILU0Preconditioner._ensure_symbolic`."""
         if self.symbolic is None:
             self.symbolic = _build_symbolic(self.mat)
-            nnzb = int(np.asarray(self.mat.nnz_total))
-            pos = np.asarray(self.mat.pos)
-            vp = np.asarray(self.mat.vals_pad)
-            bs = self.mat.bs
-            vals = np.zeros((nnzb, bs, bs), dtype=vp.dtype)
-            valid = pos < nnzb
-            vals[pos[valid]] = vp[valid]
-            self._vals = jnp.asarray(vals)
+        self._vals = self.mat.flat_vals()
 
     def _scaled_vals(self, scale):
         """scaleBlock: val[i,j] *= s[row·bs+i]·s[col·bs+j]
@@ -373,6 +375,7 @@ class BlockILU0Preconditioner(Preconditioner):
             ilu = self._fact_initial(base)
 
         sweep = self._factor_sweep_fn(base)
+        info0 = self._nonlinear_res(base, ilu) if self.compute_precinfo else 0.0
         if self.nbuildsweeps == SEQUENTIAL:
             rows = jnp.asarray(rows_of_nnz(np.asarray(self.mat.rowptr)))
             lev_of_nnz = sym.fact_level[rows]
@@ -394,13 +397,39 @@ class BlockILU0Preconditioner(Preconditioner):
             low_level=sym.low_level,
             up_level=sym.up_level,
         )
+        if self.compute_precinfo:
+            from .diagnostics import block_diagonal_dominance
+            info1 = self._nonlinear_res(base, ilu)
+            ldd_avg, ldd_min, udd_avg, udd_min = block_diagonal_dominance(
+                self.mat, self.state.ilu_pad)
+            return PrecInfo(prec_rem_initial_norm=info0,
+                            prec_remainder_norm=info1,
+                            lower_avg_diag_dom=ldd_avg,
+                            lower_min_diag_dom=ldd_min,
+                            upper_avg_diag_dom=udd_avg,
+                            upper_min_diag_dom=udd_min)
         return PrecInfo()
 
-    def apply(self, r: jax.Array) -> jax.Array:
+    def _nonlinear_res(self, base, ilu):
+        """Block ILU fixed-point remainder Σ‖Â_j − Σ_k L·U − (l_j·u_cc | u_j)‖₁
+        (reference: block_ilu0_nonlinear_res, async_blockilu_factor.cpp:97-141,
+        declared async_blockilu_factor.hpp:52)."""
+        sym = self.symbolic
+        ext = extend_zero(ilu)
+        prod = jnp.einsum("npij,npjk->nik", ext[sym.lowerp], ext[sym.upperp],
+                          preferred_element_type=ilu.dtype)
+        s = base - prod
+        udiag = ilu[self.mat.diagind]
+        lu = jnp.einsum("nij,njk->nik", ilu, udiag[sym.colind],
+                        preferred_element_type=ilu.dtype)
+        s = s - jnp.where(sym.is_lower[:, None, None], lu, ilu)
+        return jnp.sum(jnp.abs(s))
+
+    def apply_with(self, mat, state, r: jax.Array) -> jax.Array:
         """r, z are (nbrows, bs) block segments
         (reference: block_ilu0_apply, solverops_ilu0.cpp:55-148)."""
-        st, sym = self.state, self.symbolic
-        A = self.mat
+        st, sym = state, self.symbolic
+        A = mat
         z = st.scale * r if st.scale is not None else r
 
         if self.napplysweeps == SEQUENTIAL:
@@ -423,6 +452,14 @@ class BlockILU0Preconditioner(Preconditioner):
         bs = self.mat.bs
         return self.state._replace(
             ilu=jnp.zeros((0, bs, bs), self.state.ilu.dtype))
+
+    def patched_for_shards(self, precs):
+        import copy
+        q = copy.copy(self)
+        q.symbolic = self.symbolic._replace(
+            nlow=max(p.symbolic.nlow for p in precs),
+            nup=max(p.symbolic.nup for p in precs))
+        return q
 
     def apply_relax(self, b, x):
         raise NotImplementedError("ILU relaxation not implemented "

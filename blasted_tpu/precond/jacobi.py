@@ -70,8 +70,8 @@ class JacobiPreconditioner(Preconditioner):
         self.state = _DiagState(dinv=1.0 / self.mat.diag_vals)
         return PrecInfo()
 
-    def apply(self, r: jax.Array) -> jax.Array:
-        return self.state.dinv * r
+    def apply_with(self, mat, state, r: jax.Array) -> jax.Array:
+        return state.dinv * r
 
     def apply_relax(self, b: jax.Array, x: jax.Array) -> jax.Array:
         dinv = self.state.dinv
@@ -91,8 +91,8 @@ class BJacobiPreconditioner(Preconditioner):
         self.state = _DiagState(dinv=invert_diag_blocks(self.mat.diag_blocks))
         return PrecInfo()
 
-    def apply(self, r: jax.Array) -> jax.Array:
-        return jnp.einsum("rij,rj->ri", self.state.dinv, r,
+    def apply_with(self, mat, state, r: jax.Array) -> jax.Array:
+        return jnp.einsum("rij,rj->ri", state.dinv, r,
                           preferred_element_type=r.dtype)
 
     def apply_relax(self, b: jax.Array, x: jax.Array) -> jax.Array:

@@ -85,11 +85,21 @@ class LevelSGSPreconditioner(Preconditioner):
                                  up_level=self._levels[2])
         return PrecInfo()
 
-    def apply(self, r: jax.Array) -> jax.Array:
-        low, nlow, up, nup = self._levels
-        dinv = self.state.dinv
-        y = exact_fgs(self.mat, dinv, r, jnp.zeros_like(r), low, nlow)
-        return exact_bgs(self.mat, dinv, y, jnp.zeros_like(r), up, nup)
+    def apply_with(self, mat, state, r: jax.Array) -> jax.Array:
+        _, nlow, _, nup = self._levels
+        y = exact_fgs(mat, state.dinv, r, jnp.zeros_like(r),
+                      state.low_level, nlow)
+        return exact_bgs(mat, state.dinv, y, jnp.zeros_like(r),
+                         state.up_level, nup)
+
+    def patched_for_shards(self, precs):
+        import copy
+        q = copy.copy(self)
+        q._levels = (self._levels[0],
+                     max(p._levels[1] for p in precs),
+                     self._levels[2],
+                     max(p._levels[3] for p in precs))
+        return q
 
     def apply_relax(self, b: jax.Array, x: jax.Array) -> jax.Array:
         """Exact symmetric GS relaxation: forward + backward exact sweeps per
@@ -142,11 +152,21 @@ class BlockLevelSGSPreconditioner(Preconditioner):
                                  up_level=self._levels[2])
         return PrecInfo()
 
-    def apply(self, r: jax.Array) -> jax.Array:
-        low, nlow, up, nup = self._levels
-        dinv = self.state.dinv
-        y = exact_block_fgs(self.mat, dinv, r, jnp.zeros_like(r), low, nlow)
-        return exact_block_bgs(self.mat, dinv, y, jnp.zeros_like(r), up, nup)
+    def apply_with(self, mat, state, r: jax.Array) -> jax.Array:
+        _, nlow, _, nup = self._levels
+        y = exact_block_fgs(mat, state.dinv, r, jnp.zeros_like(r),
+                            state.low_level, nlow)
+        return exact_block_bgs(mat, state.dinv, y, jnp.zeros_like(r),
+                               state.up_level, nup)
+
+    def patched_for_shards(self, precs):
+        import copy
+        q = copy.copy(self)
+        q._levels = (self._levels[0],
+                     max(p._levels[1] for p in precs),
+                     self._levels[2],
+                     max(p._levels[3] for p in precs))
+        return q
 
     def apply_relax(self, b, x):
         raise NotImplementedError
@@ -166,8 +186,8 @@ class CSCBGSPreconditioner(Preconditioner):
                                  low_level=jnp.zeros(0), up_level=jnp.zeros(0))
         return PrecInfo()
 
-    def apply(self, r: jax.Array) -> jax.Array:
-        A, dinv = self.mat, self.state.dinv
+    def apply_with(self, mat, state, r: jax.Array) -> jax.Array:
+        A, dinv = mat, state.dinv
         z0 = jnp.zeros_like(r)
         return run_sweeps(
             self.napplysweeps,

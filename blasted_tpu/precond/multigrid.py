@@ -101,8 +101,9 @@ def aggregation_prolongator(n: int, group: int, A_sp=None,
     Returns ``(P, omega)`` as ``(scipy.sparse.csr_matrix, float)``; ``omega``
     is 0.0 for the unsmoothed (piecewise-constant) tentative operator, else
     the damped-Jacobi weight of the smoothed prolongator
-    ``P = (I − ω D⁻¹ A) T`` with ``ω = omega_scale / ρ(D⁻¹A)`` (ρ estimated
-    by a short power iteration).
+    ``P = (I − ω D⁻¹ A) T`` with ``ω = omega_scale / ρ(D⁻¹A)``, where ρ is
+    the Gershgorin row-sum upper bound (see :func:`_rho_dinv_a` for why an
+    upper bound, not a power-iteration estimate, is required).
     """
     import scipy.sparse as sps
 
@@ -316,6 +317,8 @@ class MultigridPreconditioner(Preconditioner):
             raise ValueError(f"unknown cycle type {self.settings.cycle!r}")
         self.levels: list[_Level] = []
         self._coarse_lu = None
+        self._values_version = 0
+        self._built_version = -1
         from .base import SolveParams
         self.solveparams = SolveParams()
 
@@ -323,10 +326,23 @@ class MultigridPreconditioner(Preconditioner):
     def block_size(self) -> int:
         return 1  # cycle runs on flat vectors regardless of input blocking
 
+    def update_values(self, vals) -> None:
+        """New numerical values for the fine operator (flat nnz array, see
+        precond/base.py).  The next :meth:`compute` rebuilds the Galerkin
+        chain and level operators from the new values (the reference
+        refreshes numerics every compute_preconditioner call,
+        blasted_petsc.cpp:314-327); plain repeated compute() without an
+        update keeps the cached hierarchy."""
+        self.mat = self.mat.with_vals(jnp.asarray(vals))
+        self._values_version += 1
+
     def compute(self) -> PrecInfo:
-        if not self.levels:           # symbolic/hierarchy setup cached
+        if not self.levels or self._built_version != self._values_version:
+            # hierarchy (re)build: cached across compute() calls, invalidated
+            # by update_values (ADVICE r1: stale level operators)
             self.levels, self._A_coarse = build_hierarchy(
                 self.mat, self.settings)
+            self._built_version = self._values_version
         info = PrecInfo()
         for li, lev in enumerate(self.levels):   # numeric smoother factorizations
             if lev.smoother is None:   # jacobi/chebyshev kinds: dinv-only

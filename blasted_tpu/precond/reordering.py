@@ -29,7 +29,8 @@ from ..sparse.csr import CSRMatrix
 
 __all__ = ["Reordering", "RCMReordering", "MaxDiagonalScaling",
            "MaxMatchingReordering",
-           "apply_ordering_matrix", "apply_ordering_vector"]
+           "apply_ordering_matrix", "apply_ordering_vector",
+           "apply_scaling_matrix_"]
 
 FORWARD = "forward"
 INVERSE = "inverse"
@@ -124,6 +125,34 @@ def apply_ordering_matrix(A, rp, cp, mode=FORWARD):
     return CSRMatrix.from_scipy(sp)
 
 
+def apply_scaling_matrix_(A, row_scale, col_scale, mode=FORWARD):
+    """S_r · A · S_c with per-scalar-row/-column scalings (the reference's
+    ``ReorderingScaling::applyScaling``, reorderingscaling.cpp:268-340).
+    FORWARD scales, INVERSE unscales; blocks scale entrywise as
+    val[i,j](a,b) *= s_r[i·bs+a] · s_c[j·bs+b]."""
+    import scipy.sparse as sps
+
+    rs = np.asarray(row_scale, dtype=np.float64)
+    cs = np.asarray(col_scale, dtype=np.float64)
+    if mode == INVERSE:
+        rs, cs = 1.0 / rs, 1.0 / cs
+    if isinstance(A, BSRMatrix):
+        bs = A.bs
+        rowptr = np.asarray(A.rowptr)
+        colind = np.asarray(A.colind)
+        vals = np.array(np.asarray(A.vals), copy=True)
+        rows = np.repeat(np.arange(A.nbrows), np.diff(rowptr))
+        rsb = rs.reshape(A.nbrows, bs)
+        csb = cs.reshape(A.nbrows, bs)
+        vals *= rsb[rows][:, :, None] * csb[colind][:, None, :]
+        return BSRMatrix.from_arrays(rowptr, colind, vals, bs,
+                                     diagind=np.asarray(A.diagind))
+    sp = A.to_scipy().tocsr()
+    out = (sps.diags(rs) @ sp @ sps.diags(cs)).tocsr()
+    out.sort_indices()
+    return CSRMatrix.from_scipy(out)
+
+
 def apply_ordering_vector(v, p, mode=FORWARD, bs: int = 1):
     if p is None:
         return np.asarray(v).copy()
@@ -173,6 +202,14 @@ class ReorderedILU0Preconditioner:
         self._rp = jnp.asarray(rp)
         self._cp = jnp.asarray(cp)
         return self.inner.compute()
+
+    def update_values(self, vals):
+        """New values for the original (unpermuted) matrix; the next
+        compute() recomputes the reordering and re-factorizes, matching the
+        reference's every-compute recompute (solverops_ilu0.cpp:398-476)."""
+        import jax.numpy as jnp
+
+        self.A = self.A.with_vals(jnp.asarray(vals))
 
     def apply(self, r):
         import jax.numpy as jnp
@@ -304,6 +341,24 @@ class MaxMatchingReordering(Reordering):
             self.row_scale = 1.0 / np.sqrt(d)
             self.col_scale = 1.0 / np.sqrt(d)
 
+    def apply_scaling_matrix(self, A, mode=FORWARD):
+        """Apply the job-5 equilibration scalings  S_r · A · S_c  to an
+        (already row-permuted) matrix — the ``applyScaling`` half of the
+        reference's ReorderingScaling (reorderingscaling.cpp:268-340), which
+        was previously only returned, never applied (ADVICE r1)."""
+        if self.row_scale is None:
+            raise ValueError("no scalings computed (job 5 only)")
+        return apply_scaling_matrix_(A, self.row_scale, self.col_scale, mode)
+
+    def apply_scaling_vector(self, v, mode=FORWARD, direction=ROW):
+        """(reference: applyScaling(vec), reorderingscaling.cpp:300-340)"""
+        if self.row_scale is None:
+            raise ValueError("no scalings computed (job 5 only)")
+        s = self.row_scale if direction == ROW else self.col_scale
+        if mode == INVERSE:
+            s = 1.0 / s
+        return np.asarray(v) * s
+
 
 class MaxDiagonalScaling(Reordering):
     """Symmetric equilibration scaling s_i = 1/√|a_ii| plus optional row
@@ -336,16 +391,11 @@ class MaxDiagonalScaling(Reordering):
             rp[cols_m] = rows_m
             self.set_ordering(rp, None)
 
-    def apply_scaling_matrix(self, A):
-        import scipy.sparse as sps
+    def apply_scaling_matrix(self, A, mode=FORWARD):
+        return apply_scaling_matrix_(A, self.row_scale, self.col_scale, mode)
 
-        sp = A.to_scipy().tocsr()
-        S_r = sps.diags(self.row_scale)
-        S_c = sps.diags(self.col_scale)
-        out = (S_r @ sp @ S_c).tocsr()
-        out.sort_indices()
-        return CSRMatrix.from_scipy(out)
-
-    def apply_scaling_vector(self, v, direction=ROW):
+    def apply_scaling_vector(self, v, direction=ROW, mode=FORWARD):
         s = self.row_scale if direction == ROW else self.col_scale
+        if mode == INVERSE:
+            s = 1.0 / s
         return np.asarray(v) * s

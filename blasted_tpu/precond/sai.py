@@ -128,15 +128,11 @@ class SAIPreconditioner(Preconditioner):
         self._vals = None
 
     def _ensure_symbolic(self):
+        """Pattern computed once; values re-read from the current matrix on
+        every compute() (the value-update workflow, precond/base.py)."""
         if self.symbolic is None:
             self.symbolic = _build_sai_symbolic(self.mat, self.incomplete)
-            nnz = self.symbolic.nnz
-            pos = np.asarray(self.mat.pos)
-            vp = np.asarray(self.mat.vals_pad)
-            vals = np.zeros(nnz, dtype=vp.dtype)
-            valid = pos < nnz
-            vals[pos[valid]] = vp[valid]
-            self._vals = jnp.asarray(vals)
+        self._vals = self.mat.flat_vals()
 
     def compute(self) -> PrecInfo:
         self._ensure_symbolic()
@@ -157,10 +153,9 @@ class SAIPreconditioner(Preconditioner):
         self.state = _SAIState(sai_pad=flat[self.mat.pos])
         return PrecInfo()
 
-    def apply(self, r: jax.Array) -> jax.Array:
-        P = self.mat
-        rg = P.gather_x(r)
-        return jnp.sum(self.state.sai_pad * rg, axis=1)
+    def apply_with(self, mat, state, r: jax.Array) -> jax.Array:
+        rg = mat.gather_x(r)
+        return jnp.sum(state.sai_pad * rg, axis=1)
 
     def apply_relax(self, b, x):
         raise NotImplementedError("SAI relaxation not implemented")
@@ -181,16 +176,10 @@ class BlockSAIPreconditioner(Preconditioner):
         self._vals = None
 
     def _ensure_symbolic(self):
+        """See :meth:`SAIPreconditioner._ensure_symbolic`."""
         if self.symbolic is None:
             self.symbolic = _build_sai_symbolic(self.mat, self.incomplete)
-            nnzb = self.symbolic.nnz
-            pos = np.asarray(self.mat.pos)
-            vp = np.asarray(self.mat.vals_pad)
-            bs = self.mat.bs
-            vals = np.zeros((nnzb, bs, bs), dtype=vp.dtype)
-            valid = pos < nnzb
-            vals[pos[valid]] = vp[valid]
-            self._vals = jnp.asarray(vals)
+        self._vals = self.mat.flat_vals()
 
     def compute(self) -> PrecInfo:
         self._ensure_symbolic()
@@ -221,11 +210,10 @@ class BlockSAIPreconditioner(Preconditioner):
         self.state = _SAIState(sai_pad=flat[self.mat.pos])
         return PrecInfo()
 
-    def apply(self, r: jax.Array) -> jax.Array:
+    def apply_with(self, mat, state, r: jax.Array) -> jax.Array:
         """r is (nbrows, bs); z = M r via block SpMV."""
-        P = self.mat
-        rg = P.gather_x(r)                          # (n, W, bs)
-        return jnp.einsum("rwij,rwj->ri", self.state.sai_pad, rg,
+        rg = mat.gather_x(r)                        # (n, W, bs)
+        return jnp.einsum("rwij,rwj->ri", state.sai_pad, rg,
                           preferred_element_type=r.dtype)
 
     def apply_relax(self, b, x):

@@ -69,8 +69,8 @@ class SGSPreconditioner(Preconditioner):
         self.state = _DiagState(dinv=1.0 / self.mat.diag_vals)
         return PrecInfo()
 
-    def apply(self, r: jax.Array) -> jax.Array:
-        A, dinv, ns = self.mat, self.state.dinv, self.napplysweeps
+    def apply_with(self, mat, state, r: jax.Array) -> jax.Array:
+        A, dinv, ns = mat, state.dinv, self.napplysweeps
         y0 = jnp.zeros_like(r)
         y = run_sweeps(ns, lambda y: fgs_sweep(A, dinv, r, y), y0)
         # init of the backward solve (reference: solverops_sgs.cpp:162-169)
@@ -116,8 +116,8 @@ class BSGSPreconditioner(Preconditioner):
         self.state = _DiagState(dinv=invert_diag_blocks(self.mat.diag_blocks))
         return PrecInfo()
 
-    def apply(self, r: jax.Array) -> jax.Array:
-        A, dinv, ns = self.mat, self.state.dinv, self.napplysweeps
+    def apply_with(self, mat, state, r: jax.Array) -> jax.Array:
+        A, dinv, ns = mat, state.dinv, self.napplysweeps
         y0 = jnp.zeros_like(r)
         y = run_sweeps(ns, lambda y: block_fgs_sweep(A, dinv, r, y), y0)
         z0 = y if self.apply_init == ApplyInit.JACOBI else jnp.zeros_like(r)
@@ -151,8 +151,8 @@ class ChaoticRelaxation(Preconditioner):
         self.state = _DiagState(dinv=1.0 / self.mat.diag_vals)
         return PrecInfo()
 
-    def apply(self, r: jax.Array) -> jax.Array:
-        A, dinv = self.mat, self.state.dinv
+    def apply_with(self, mat, state, r: jax.Array) -> jax.Array:
+        A, dinv = mat, state.dinv
         x0 = jnp.zeros_like(r)
         return run_sweeps(self.napplysweeps,
                           lambda x: jacobi_sweep(A, dinv, r, x), x0)
@@ -174,8 +174,8 @@ class BlockChaoticRelaxation(Preconditioner):
         self.state = _DiagState(dinv=invert_diag_blocks(self.mat.diag_blocks))
         return PrecInfo()
 
-    def apply(self, r: jax.Array) -> jax.Array:
-        A, dinv = self.mat, self.state.dinv
+    def apply_with(self, mat, state, r: jax.Array) -> jax.Array:
+        A, dinv = mat, state.dinv
         x0 = jnp.zeros_like(r)
         return run_sweeps(self.napplysweeps,
                           lambda x: block_jacobi_sweep(A, dinv, r, x), x0)

@@ -27,12 +27,26 @@ __all__ = ["SolveInfo", "richardson", "bicgstab", "gcr", "cg", "gmres"]
 
 class SolveInfo(NamedTuple):
     """(reference: tests/solvers.hpp SolveInfo — converged, iters, resnorm,
-    bnorm; walltime is measured by the caller.)"""
+    bnorm; walltime is measured by the caller.)
+
+    ``breakdown`` flags a Krylov breakdown (rho / rhat·v / t·t ≈ 0 in
+    BiCGSTAB, p·Ap ≈ 0 in CG, q·q ≈ 0 in GCR): the solver stops with the
+    last finite iterate instead of propagating NaN/Inf through the
+    ``while_loop``.  The reference's solvers iterate to maxiter with finite
+    values in that situation; here the event is detected and reported."""
 
     converged: jax.Array
     iters: jax.Array
     resnorm: jax.Array
     bnorm: jax.Array
+    breakdown: jax.Array | bool = False
+
+
+def _nz(d):
+    """Division guard: exact zeros (or tiny denominators already flagged as
+    breakdown) become 1 so the quotient stays finite; the caller discards
+    the lane via the breakdown flag."""
+    return jnp.where(d == 0, jnp.ones_like(d), d)
 
 
 def richardson(amat: Callable, prec: Callable, b: jax.Array, x0: jax.Array,
@@ -66,10 +80,12 @@ def bicgstab(amat: Callable, prec: Callable, b: jax.Array, x0: jax.Array,
              tol: float = 1e-6, maxiter: int = 500):
     """Right-preconditioned BiCGSTAB, same update sequence and iteration
     count (iters = step+1) as the reference
-    (reference: tests/solvers.cpp BiCGSTAB::solve, :140-244)."""
+    (reference: tests/solvers.cpp BiCGSTAB::solve, :140-244), plus breakdown
+    guards on rho, rhat·v and t·t (see :class:`SolveInfo`)."""
     bnorm = norm2(b)
     r0 = b - amat(x0)
     rhat = r0
+    nrhat = norm2(rhat)
 
     class S(NamedTuple):
         x: jax.Array
@@ -82,35 +98,55 @@ def bicgstab(amat: Callable, prec: Callable, b: jax.Array, x0: jax.Array,
         step: jax.Array
         resnorm: jax.Array
         done: jax.Array
+        breakdown: jax.Array
 
     dt = b.dtype
+    eps = jnp.finfo(dt).eps
+    tiny = jnp.finfo(dt).tiny
     s0 = S(x0, r0, jnp.zeros_like(b), jnp.zeros_like(b),
            jnp.ones((), dt), jnp.ones((), dt), jnp.ones((), dt),
-           jnp.int32(0), jnp.asarray(100.0, dt), jnp.bool_(False))
+           jnp.int32(0), jnp.asarray(100.0, dt), jnp.bool_(False),
+           jnp.bool_(False))
 
     def cond(s):
         return (s.step < maxiter) & ~s.done
 
     def body(s):
         rho = dot(rhat, s.r)
-        beta = rho * s.alpha / (s.rhoold * s.omega)
+        # breakdown: rhat ⟂ r to rounding, or the previous omega annihilated
+        brk = jnp.abs(rho) <= 100 * eps * nrhat * norm2(s.r)
+        brk |= jnp.abs(s.rhoold * s.omega) <= 100 * tiny
+        beta = rho * s.alpha / _nz(s.rhoold * s.omega)
         p = s.r + beta * s.p - beta * s.omega * s.v
         y = prec(p)
         v = amat(y)
-        alpha = rho / dot(rhat, v)
+        rv = dot(rhat, v)
+        brk |= jnp.abs(rv) <= 100 * eps * nrhat * norm2(v)
+        alpha = rho / _nz(rv)
         rs = s.r - alpha * v                      # 's' of the algorithm
         z = prec(rs)
         t = amat(z)
-        omega = dot(t, rs) / dot(t, t)
+        tt = dot(t, t)
+        # t ≈ 0: the "lucky" half-step breakdown — x + αy is still valid
+        lucky = tt <= 100 * tiny
+        omega = jnp.where(lucky, jnp.zeros((), dt), dot(t, rs) / _nz(tt))
         x = s.x + alpha * y + omega * z
         r = rs - omega * t
         resnorm = norm2(r)
-        done = resnorm / bnorm < tol
-        return S(x, r, p, v, rho, alpha, omega, s.step + 1, resnorm, done)
+        # on breakdown keep the previous finite iterate
+        x = jnp.where(brk, s.x, x)
+        r = jnp.where(brk, s.r, r)
+        resnorm = jnp.where(brk, s.resnorm, resnorm)
+        conv = resnorm / bnorm < tol
+        breakdown = s.breakdown | brk | (lucky & ~conv)
+        done = conv | brk | lucky
+        return S(x, r, p, v, rho, alpha, omega, s.step + 1, resnorm, done,
+                 breakdown)
 
     s = jax.lax.while_loop(cond, body, s0)
     return s.x, SolveInfo(converged=s.resnorm / bnorm < tol,
-                          iters=s.step, resnorm=s.resnorm, bnorm=bnorm)
+                          iters=s.step, resnorm=s.resnorm, bnorm=bnorm,
+                          breakdown=s.breakdown)
 
 
 def gcr(amat: Callable, prec: Callable, b: jax.Array, x0: jax.Array,
@@ -136,6 +172,7 @@ def gcr(amat: Callable, prec: Callable, b: jax.Array, x0: jax.Array,
         step: jax.Array
         resnorm: jax.Array
         done: jax.Array
+        breakdown: jax.Array
 
     def restart(x):
         res = b - amat(x)
@@ -145,9 +182,10 @@ def gcr(amat: Callable, prec: Callable, b: jax.Array, x0: jax.Array,
         Q = jnp.zeros((nrestart, n), dt).at[0].set(q0)
         return res, P, Q
 
+    tiny = jnp.finfo(dt).tiny
     res0, P0, Q0 = restart(x0)
     s0 = S(x0, res0, P0, Q0, jnp.int32(0), jnp.int32(0),
-           norm2(res0), jnp.bool_(False))
+           norm2(res0), jnp.bool_(False), jnp.bool_(False))
 
     def cond(s):
         return (s.step < maxiter) & ~s.done
@@ -155,12 +193,16 @@ def gcr(amat: Callable, prec: Callable, b: jax.Array, x0: jax.Array,
     def body(s):
         pk = s.P[s.k]
         qk = s.Q[s.k]
-        alpha = dot(s.res, qk) / dot(qk, qk)
-        x = s.x + alpha * pk
-        res = s.res - alpha * qk
-        resnorm = norm2(res)
+        qq = dot(qk, qk)
+        # breakdown: A·p_k ≈ 0 (operator annihilated the direction)
+        brk = qq <= 100 * tiny
+        alpha = dot(s.res, qk) / _nz(qq)
+        x = jnp.where(brk, s.x, s.x + alpha * pk)
+        res = jnp.where(brk, s.res, s.res - alpha * qk)
+        resnorm = jnp.where(brk, s.resnorm, norm2(res))
         step = s.step + 1
-        done = resnorm / bnorm < tol
+        conv = resnorm / bnorm < tol
+        done = conv | brk
 
         def extend(_):
             z = prec(res)
@@ -182,11 +224,12 @@ def gcr(amat: Callable, prec: Callable, b: jax.Array, x0: jax.Array,
         P, Q, k = jax.lax.cond(at_end, do_restart, extend, None)
         # after a restart the residual is recomputed from x
         res = jnp.where(at_end & ~done, b - amat(x), res)
-        return S(x, res, P, Q, k, step, resnorm, done)
+        return S(x, res, P, Q, k, step, resnorm, done, s.breakdown | brk)
 
     s = jax.lax.while_loop(cond, body, s0)
     return s.x, SolveInfo(converged=s.resnorm / bnorm <= tol,
-                          iters=s.step, resnorm=s.resnorm, bnorm=bnorm)
+                          iters=s.step, resnorm=s.resnorm, bnorm=bnorm,
+                          breakdown=s.breakdown)
 
 
 def gmres(amat: Callable, prec: Callable, b: jax.Array, x0: jax.Array,
@@ -310,6 +353,9 @@ def cg(amat: Callable, prec: Callable, b: jax.Array, x0: jax.Array,
     bnorm = norm2(b)
     r0 = b - amat(x0)
     z0 = prec(r0)
+    dt = b.dtype
+    eps = jnp.finfo(dt).eps
+    tiny = jnp.finfo(dt).tiny
 
     class S(NamedTuple):
         x: jax.Array
@@ -320,25 +366,33 @@ def cg(amat: Callable, prec: Callable, b: jax.Array, x0: jax.Array,
         step: jax.Array
         resnorm: jax.Array
         done: jax.Array
+        breakdown: jax.Array
 
     s0 = S(x0, r0, z0, z0, dot(r0, z0), jnp.int32(0), norm2(r0),
-           jnp.bool_(False))
+           jnp.bool_(False), jnp.bool_(False))
 
     def cond(s):
         return (s.step < maxiter) & ~s.done
 
     def body(s):
         ap = amat(s.p)
-        alpha = s.rz / dot(s.p, ap)
-        x = s.x + alpha * s.p
-        r = s.r - alpha * ap
-        resnorm = norm2(r)
-        done = resnorm / bnorm < tol
+        pap = dot(s.p, ap)
+        # breakdown: p·Ap ≈ 0 (indefinite operator) or r·z annihilated
+        brk = jnp.abs(pap) <= 100 * eps * norm2(s.p) * norm2(ap)
+        brk |= jnp.abs(s.rz) <= 100 * tiny
+        alpha = s.rz / _nz(pap)
+        x = jnp.where(brk, s.x, s.x + alpha * s.p)
+        r = jnp.where(brk, s.r, s.r - alpha * ap)
+        resnorm = jnp.where(brk, s.resnorm, norm2(r))
+        conv = resnorm / bnorm < tol
+        done = conv | brk
         z = prec(r)
         rz = dot(r, z)
-        p = z + (rz / s.rz) * s.p
-        return S(x, r, z, p, rz, s.step + 1, resnorm, done)
+        p = z + (rz / _nz(s.rz)) * s.p
+        return S(x, r, z, p, rz, s.step + 1, resnorm, done,
+                 s.breakdown | brk)
 
     s = jax.lax.while_loop(cond, body, s0)
     return s.x, SolveInfo(converged=s.resnorm / bnorm < tol,
-                          iters=s.step, resnorm=s.resnorm, bnorm=bnorm)
+                          iters=s.step, resnorm=s.resnorm, bnorm=bnorm,
+                          breakdown=s.breakdown)

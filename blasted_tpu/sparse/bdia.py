@@ -63,6 +63,13 @@ class BlockDiaMatrix:
         """Kernel value operand (diag-major here; see DiaMatrix.vals_pad)."""
         return self.data
 
+    def with_new_data(self, data: jax.Array) -> "BlockDiaMatrix":
+        """Same band structure, new ``(k, nbrows, bs, bs)`` values (masked to
+        the structural pattern) — the value-update path (see
+        :meth:`DiaMatrix.with_new_data`)."""
+        data = jnp.where(self.mask[:, :, None, None], jnp.asarray(data), 0.0)
+        return BlockDiaMatrix(data=data, mask=self.mask, offsets=self.offsets)
+
     def to_scipy(self):
         return _to_scipy_coo(self.offsets, np.asarray(self.data),
                              np.asarray(self.mask), self.nbrows, self.bs)

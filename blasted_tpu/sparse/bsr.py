@@ -88,6 +88,37 @@ class BSRMatrix:
     def with_vals(self, vals: jax.Array) -> "BSRMatrix":
         return BSRMatrix(self.rowptr, self.colind, vals, self.diagind)
 
+    # -- assembly / value updates (reference: blockmatrices.hpp:283-344) -----
+
+    def scale_all(self, factor) -> "BSRMatrix":
+        """All blocks times ``factor`` (reference: scaleAll)."""
+        return self.with_vals(self.vals * factor)
+
+    def block_positions(self, brows, bcols) -> np.ndarray:
+        """Host positions of blocks (brows[k], bcols[k]) in the nnzb array."""
+        from .csr import _entry_positions
+        return _entry_positions(self.rowptr, self.colind, self.nbrows,
+                                brows, bcols)
+
+    def submit_blocks(self, brows, bcols, blocks) -> "BSRMatrix":
+        """Overwrite blocks (reference: submitBlock,
+        blockmatrices.hpp:283-300); ``blocks`` is ``(k, bs, bs)``."""
+        pos = jnp.asarray(self.block_positions(brows, bcols))
+        return self.with_vals(self.vals.at[pos].set(jnp.asarray(blocks)))
+
+    def update_blocks(self, brows, bcols, blocks) -> "BSRMatrix":
+        """Accumulate blocks — the TPU re-expression of the reference's
+        atomic updateBlock (blockmatrices.ipp:354): scatter-add is natively
+        race-free in XLA (SURVEY.md §2.5 P5)."""
+        pos = jnp.asarray(self.block_positions(brows, bcols))
+        return self.with_vals(self.vals.at[pos].add(jnp.asarray(blocks)))
+
+    def update_diag_blocks(self, brows, blocks) -> "BSRMatrix":
+        """Accumulate into diagonal blocks (reference: updateDiagBlock,
+        blockmatrices.ipp:370)."""
+        pos = self.diagind[jnp.asarray(np.asarray(brows, dtype=np.int32))]
+        return self.with_vals(self.vals.at[pos].add(jnp.asarray(blocks)))
+
     def pad(self, width: int | None = None) -> "PaddedBSR":
         return PaddedBSR.from_bsr(self, width)
 
@@ -203,3 +234,22 @@ class PaddedBSR:
     def repad_vals(self, vals: jax.Array) -> jax.Array:
         """Pad a new ``(nnzb, bs, bs)`` value array into ``(nbrows, W, bs, bs)``."""
         return gather_padded(vals, self.pos)
+
+    def flat_vals(self) -> jax.Array:
+        """Recover the flat ``(nnzb, bs, bs)`` value array from the padded
+        form (device scatter; sentinels land in a dropped overflow slot)."""
+        nnzb = int(np.asarray(self.nnz_total))
+        bs = self.bs
+        flat = jnp.zeros((nnzb + 1, bs, bs), self.dtype).at[
+            self.pos.reshape(-1)].set(self.vals_pad.reshape(-1, bs, bs))
+        return flat[:nnzb]
+
+    def with_new_vals(self, vals: jax.Array) -> "PaddedBSR":
+        """Same sparsity, new ``(nnzb, bs, bs)`` values — the value-update
+        path (see :meth:`PaddedCSR.with_new_vals`)."""
+        import dataclasses
+
+        vals = jnp.asarray(vals)
+        return dataclasses.replace(
+            self, vals_pad=gather_padded(vals, self.pos),
+            diag_blocks=vals[self.diagind])

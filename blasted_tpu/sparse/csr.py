@@ -100,6 +100,42 @@ class CSRMatrix:
         sharing the original matrix's index arrays (include/solverops_ilu0.hpp:74-78)."""
         return CSRMatrix(self.rowptr, self.colind, vals, self.diagind)
 
+    # -- assembly / value updates (reference: blockmatrices.hpp:283-344) -----
+
+    def scale_all(self, factor) -> "CSRMatrix":
+        """All values times ``factor`` (reference: scaleAll,
+        blockmatrices.ipp).  Functional: returns a new container sharing the
+        index arrays."""
+        return self.with_vals(self.vals * factor)
+
+    def entry_positions(self, rows, cols) -> np.ndarray:
+        """Host positions of entries (rows[k], cols[k]) in the nnz array
+        (the per-entry ``inner_search`` of the reference, vectorised;
+        reference: helper_algorithms.hpp:38-52)."""
+        return _entry_positions(self.rowptr, self.colind, self.nrows,
+                                rows, cols)
+
+    def submit_entries(self, rows, cols, vals) -> "CSRMatrix":
+        """Overwrite entries (rows[k], cols[k]) = vals[k]
+        (reference: submitBlock, blockmatrices.hpp:283-300 — the
+        non-accumulating assembly form)."""
+        pos = jnp.asarray(self.entry_positions(rows, cols))
+        return self.with_vals(self.vals.at[pos].set(jnp.asarray(vals)))
+
+    def update_entries(self, rows, cols, vals) -> "CSRMatrix":
+        """Accumulate vals[k] into entries (rows[k], cols[k]) — the TPU
+        re-expression of the reference's atomic updateBlock
+        (blockmatrices.ipp:354,652): scatter-add is natively race-free in
+        XLA (SURVEY.md §2.5 P5).  Duplicate (row, col) pairs accumulate."""
+        pos = jnp.asarray(self.entry_positions(rows, cols))
+        return self.with_vals(self.vals.at[pos].add(jnp.asarray(vals)))
+
+    def update_diag_entries(self, rows, vals) -> "CSRMatrix":
+        """Accumulate into diagonal entries (reference: updateDiagBlock,
+        blockmatrices.ipp:370,680)."""
+        pos = self.diagind[jnp.asarray(np.asarray(rows, dtype=np.int32))]
+        return self.with_vals(self.vals.at[pos].add(jnp.asarray(vals)))
+
     def pad(self, width: int | None = None) -> "PaddedCSR":
         return PaddedCSR.from_csr(self, width)
 
@@ -151,6 +187,28 @@ def _is_equal(a, b, tol: float) -> tuple:
     same_di = same_n and bool(
         np.array_equal(np.asarray(a.diagind), np.asarray(b.diagind)))
     return (same_n, same_rp, same_ci, same_v, same_di)
+
+
+def _entry_positions(rowptr, colind, n: int, rows, cols) -> np.ndarray:
+    """Positions of (rows[k], cols[k]) in the CSR nnz array via one global
+    searchsorted over row-major (row, col) keys; raises if any entry is not
+    in the sparsity pattern (matching the reference's assert in
+    updateBlock)."""
+    rowptr = np.asarray(rowptr)
+    colind = np.asarray(colind)
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    all_rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(rowptr))
+    keys = all_rows * n + colind.astype(np.int64)
+    want = rows * n + cols
+    pos = np.searchsorted(keys, want)
+    ok = (pos < keys.shape[0]) & \
+        (keys[np.minimum(pos, keys.shape[0] - 1)] == want)
+    if not ok.all():
+        bad = int(np.nonzero(~ok)[0][0])
+        raise ValueError(f"entry ({rows[bad]}, {cols[bad]}) not in the "
+                         "sparsity pattern")
+    return pos.astype(np.int32)
 
 
 def _compute_diagind(rowptr: np.ndarray, colind: np.ndarray) -> np.ndarray:
@@ -262,3 +320,23 @@ class PaddedCSR:
     def repad_vals(self, vals: jax.Array) -> jax.Array:
         """Pad a new nnz-value array (e.g. ILU factors) into ``(n, W)`` form."""
         return gather_padded(vals, self.pos)
+
+    def flat_vals(self) -> jax.Array:
+        """Recover the flat ``(nnz,)`` value array from the padded form
+        (device scatter; sentinel slots land in a dropped overflow slot)."""
+        nnz = int(np.asarray(self.nnz_total))
+        flat = jnp.zeros((nnz + 1,), self.dtype).at[
+            self.pos.reshape(-1)].set(self.vals_pad.reshape(-1))
+        return flat[:nnz]
+
+    def with_new_vals(self, vals: jax.Array) -> "PaddedCSR":
+        """Same sparsity, new numerical values (flat ``(nnz,)``) — the
+        value-update path for the PCSetUp-every-Newton-step pattern
+        (reference: blasted_petsc.cpp:314-327 recomputes over the same
+        symbolic data).  Only the value-derived fields are rebuilt."""
+        import dataclasses
+
+        vals = jnp.asarray(vals)
+        return dataclasses.replace(
+            self, vals_pad=gather_padded(vals, self.pos),
+            diag_vals=vals[self.diagind])

@@ -69,6 +69,13 @@ class DiaMatrix:
     def nnz(self) -> int:
         return int(np.asarray(self.mask).sum())
 
+    def with_new_data(self, data: jax.Array) -> "DiaMatrix":
+        """Same band structure, new ``(k, n)`` values (masked to the
+        structural pattern) — the value-update path (reference:
+        blasted_petsc.cpp:314-327 recompute-in-place pattern)."""
+        data = jnp.where(self.mask, jnp.asarray(data), 0.0)
+        return DiaMatrix(data=data, mask=self.mask, offsets=self.offsets)
+
     def to_scipy(self):
         import scipy.sparse as sps
 

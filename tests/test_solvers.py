@@ -219,3 +219,51 @@ def test_gmres_matches_scipy_iterations_unpreconditioned():
                callback_type="pr_norm")
     # scipy counts inner iterations via callback
     assert abs(int(info.iters) - count["n"]) <= max(6, 0.15 * count["n"])
+
+
+# ------------------------------------------------------ breakdown guards -----
+
+def test_bicgstab_breakdown_returns_finite_x_and_flag():
+    """rhat ⟂ A·p on a rotation operator: alpha = rho/(rhat·v) is undefined.
+    The guarded solver must return a finite iterate plus breakdown=True
+    instead of silently propagating NaN through the while_loop."""
+    A = jnp.asarray([[0.0, 1.0], [-1.0, 0.0]])
+    b = jnp.asarray([1.0, 0.0])
+    x, info = bicgstab(lambda x: A @ x, lambda r: r, b, jnp.zeros(2),
+                       tol=1e-12, maxiter=50)
+    assert bool(jnp.all(jnp.isfinite(x)))
+    assert bool(info.breakdown)
+    assert not bool(info.converged)
+
+
+def test_cg_breakdown_on_indefinite_operator():
+    """p·Ap = 0 on an indefinite diagonal: CG breaks down at step one."""
+    A = jnp.asarray([[1.0, 0.0], [0.0, -1.0]])
+    b = jnp.asarray([1.0, 1.0])
+    x, info = cg(lambda x: A @ x, lambda r: r, b, jnp.zeros(2),
+                 tol=1e-12, maxiter=50)
+    assert bool(jnp.all(jnp.isfinite(x)))
+    assert bool(info.breakdown)
+
+
+def test_gcr_breakdown_on_singular_operator():
+    """A·p = 0 for the first direction (singular operator): q·q = 0."""
+    A = jnp.asarray([[0.0, 0.0], [0.0, 1.0]])
+    b = jnp.asarray([1.0, 0.0])
+    x, info = gcr(lambda x: A @ x, lambda r: r, b, jnp.zeros(2),
+                  tol=1e-12, maxiter=50, nrestart=5)
+    assert bool(jnp.all(jnp.isfinite(x)))
+    assert bool(info.breakdown)
+
+
+def test_bicgstab_lucky_breakdown_converges():
+    """Exact solve by the preconditioner: t = A·z with rs = 0 ⇒ lucky
+    breakdown path must still report convergence, not failure."""
+    rng = np.random.default_rng(5)
+    Ad = jnp.asarray(rng.standard_normal((6, 6)) + 6 * np.eye(6))
+    Ainv = jnp.linalg.inv(Ad)
+    b = jnp.asarray(rng.standard_normal(6))
+    x, info = bicgstab(lambda x: Ad @ x, lambda r: Ainv @ r, b, jnp.zeros(6),
+                       tol=1e-10, maxiter=50)
+    assert bool(info.converged)
+    assert np.linalg.norm(np.asarray(Ad @ x - b)) < 1e-8
