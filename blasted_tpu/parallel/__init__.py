@@ -9,10 +9,10 @@ from .dist import (
     shard_vector,
 )
 from .dist_mg import DistMGSolver
-from .partition import DistCSR, partition_csr
+from .partition import DistBSR, DistCSR, partition_bsr, partition_csr
 
 __all__ = [
     "DistributedSolver", "DistMGSolver", "LocalBlockPreconditioner",
     "dist_spmv", "make_mesh", "shard_dist_csr", "shard_vector",
-    "DistCSR", "partition_csr",
+    "DistCSR", "DistBSR", "partition_csr", "partition_bsr",
 ]

@@ -28,11 +28,12 @@ from jax import shard_map
 
 from ..config import ApplyInit, AsyncSolverSettings, PrecType
 from ..factory import create_preconditioner
+from ..sparse.bsr import BSRMatrix
 from ..sparse.csr import CSRMatrix, PaddedCSR
-from .partition import DistCSR, partition_csr
+from .partition import DistBSR, DistCSR, partition_bsr, partition_csr
 
 __all__ = ["make_mesh", "row_axes", "shard_vector", "dist_spmv",
-           "LocalBlockPreconditioner", "DistributedSolver"]
+           "dist_bspmv", "LocalBlockPreconditioner", "DistributedSolver"]
 
 
 def make_mesh(n_devices: int | None = None, devices=None,
@@ -67,18 +68,21 @@ def shard_vector(mesh: Mesh, x) -> jax.Array:
                           NamedSharding(mesh, P(row_axes(mesh))))
 
 
-def shard_dist_csr(mesh: Mesh, dA: DistCSR) -> DistCSR:
-    """Place the partitioned matrix on the mesh: global row arrays sharded on
-    axis 0; stacked local blocks sharded on the shard axis."""
+def shard_dist_csr(mesh: Mesh, dA):
+    """Place the partitioned matrix (DistCSR or DistBSR) on the mesh: global
+    row arrays sharded on axis 0; stacked local blocks on the shard axis."""
     ax = row_axes(mesh)
-    row2 = NamedSharding(mesh, P(ax, None))
-    dcol = jax.device_put(dA.colind, row2)
-    dval = jax.device_put(dA.vals_pad, row2)
-    local = jax.tree_util.tree_map(
-        lambda a: jax.device_put(
-            a, NamedSharding(mesh, P(*((ax,) + (None,) * (a.ndim - 1))))),
-        dA.local)
-    return DistCSR(colind=dcol, vals_pad=dval, local=local, nshards=dA.nshards)
+
+    def put(a):
+        return jax.device_put(
+            a, NamedSharding(mesh, P(*((ax,) + (None,) * (a.ndim - 1)))))
+
+    local = jax.tree_util.tree_map(put, dA.local)
+    return type(dA)(colind=put(dA.colind), vals_pad=put(dA.vals_pad),
+                    local=local, nshards=dA.nshards)
+
+
+shard_dist_bsr = shard_dist_csr  # same placement logic, block shapes
 
 
 def dist_spmv(mesh: Mesh, colind: jax.Array, vals_pad: jax.Array,
@@ -104,6 +108,31 @@ def dist_spmv(mesh: Mesh, colind: jax.Array, vals_pad: jax.Array,
     return f(colind, vals_pad, x)
 
 
+def dist_bspmv(mesh: Mesh, colind: jax.Array, vals_pad: jax.Array,
+               x: jax.Array) -> jax.Array:
+    """y = A x for block-row-sharded BSR A and flat row-sharded x (the block
+    analogue of :func:`dist_spmv`; reference: PETSc MatMult over BAIJ,
+    SURVEY.md §2.5 P8).  Off-shard x block-segments are fetched with one
+    tiled ``all_gather``; the local product is a batched bs×bs matmul on the
+    MXU."""
+    ax = row_axes(mesh)
+    bs = vals_pad.shape[-1]
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(ax, None), P(ax, None, None, None), P(ax)),
+             out_specs=P(ax))
+    def f(ci, vp, xl):
+        xg = jax.lax.all_gather(xl, ax, tiled=True)          # (n,)
+        xb = xg.reshape(-1, bs)                              # (nbrows, bs)
+        xe = jnp.concatenate([xb, jnp.zeros((1, bs), xb.dtype)])
+        g = xe[ci]                                           # (nbl, W, bs)
+        y = jnp.einsum("rwij,rwj->ri", vp, g,
+                       preferred_element_type=vp.dtype)
+        return y.reshape(-1)
+
+    return f(colind, vals_pad, x)
+
+
 class LocalBlockPreconditioner:
     """Shard-local preconditioner with global block-Jacobi semantics.
 
@@ -115,12 +144,15 @@ class LocalBlockPreconditioner:
     preconditioner contract.
     """
 
-    def __init__(self, mesh: Mesh, dA: DistCSR, settings: AsyncSolverSettings):
+    def __init__(self, mesh: Mesh, dA, settings: AsyncSolverSettings):
         self.mesh = mesh
         self.dA = dA
         self.settings = settings
+        # block size of the local operators (DistBSR carries PaddedBSR locals)
+        self.bs = dA.local.vals_pad.shape[-1] \
+            if dA.local.vals_pad.ndim > 3 else 1
         nshards = dA.nshards
-        # per-shard local PaddedCSR (slice the stacked pytree)
+        # per-shard local PaddedCSR/PaddedBSR (slice the stacked pytree)
         self._shard_precs = []
         for d in range(nshards):
             local_d = jax.tree_util.tree_map(lambda a: a[d], dA.local)
@@ -153,6 +185,8 @@ class LocalBlockPreconditioner:
         state = self._state
         template = self._template
 
+        bs = self.bs
+
         def local_apply(local_mat_sl, state_sl, rl):
             # device-local slices arrive with a leading length-1 shard axis
             mat = jax.tree_util.tree_map(lambda a: a[0], local_mat_sl)
@@ -160,6 +194,9 @@ class LocalBlockPreconditioner:
             # the shard-state protocol: apply_with is pure in (mat, state, r)
             # (precond/base.py), so tracing once with each device's slice
             # substituted is sound by contract, not by accident
+            if bs > 1:   # block operators take (nbrows, bs) segments
+                return template.apply_with(mat, st,
+                                           rl.reshape(-1, bs)).reshape(-1)
             return template.apply_with(mat, st, rl)
 
         ax = row_axes(mesh)
@@ -182,11 +219,19 @@ class DistributedSolver:
     because the vectors are row-sharded global arrays (psum under the hood).
     """
 
-    def __init__(self, A: CSRMatrix, mesh: Mesh,
+    def __init__(self, A, mesh: Mesh,
                  settings: AsyncSolverSettings | None = None):
         self.mesh = mesh
         nshards = mesh.devices.size
-        self.dA = shard_dist_csr(mesh, partition_csr(A, nshards))
+        if isinstance(A, BSRMatrix):
+            # the reference's bjacobi-over-BAIJ path (blasted_petsc.cpp
+            # :281-298), for unstructured block matrices where the banded
+            # DistBlockDiaSolver does not apply
+            self.dA = shard_dist_csr(mesh, partition_bsr(A, nshards))
+            self.bs = A.bs
+        else:
+            self.dA = shard_dist_csr(mesh, partition_csr(A, nshards))
+            self.bs = 1
         self.settings = settings or AsyncSolverSettings(
             prec_type=PrecType.JACOBI)
         if self.settings.prec_type == PrecType.NONE:
@@ -196,6 +241,8 @@ class DistributedSolver:
                 mesh, self.dA, self.settings).compute()
 
     def amat(self, x: jax.Array) -> jax.Array:
+        if self.bs > 1:
+            return dist_bspmv(self.mesh, self.dA.colind, self.dA.vals_pad, x)
         return dist_spmv(self.mesh, self.dA.colind, self.dA.vals_pad, x)
 
     def prec_apply(self, r: jax.Array) -> jax.Array:

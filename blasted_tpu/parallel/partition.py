@@ -26,9 +26,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..sparse.bsr import BSRMatrix, PaddedBSR
 from ..sparse.csr import CSRMatrix, PaddedCSR
 
-__all__ = ["DistCSR", "partition_csr"]
+__all__ = ["DistCSR", "DistBSR", "partition_csr", "partition_bsr"]
 
 
 @jax.tree_util.register_dataclass
@@ -92,4 +93,67 @@ def partition_csr(A: CSRMatrix, nshards: int) -> DistCSR:
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *locals_)
 
     return DistCSR(colind=P.colind, vals_pad=P.vals_pad,
+                   local=stacked, nshards=nshards)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class DistBSR:
+    """Row-partitioned BSR in device form — the block analogue of
+    :class:`DistCSR` for the reference's bjacobi-over-BAIJ path
+    (reference: blasted_petsc.cpp:278-298, bs ∈ {4,5} there; runtime shape
+    here).  ``local`` is a PaddedBSR stacked on a leading shard axis whose
+    column indices are shard-local (the diagonal block)."""
+
+    colind: jax.Array     # (nbrows, W) global block cols, sentinel nbrows
+    vals_pad: jax.Array   # (nbrows, W, bs, bs)
+    local: PaddedBSR      # arrays shaped (nshards, nbl, Wl, ...) etc.
+    nshards: int
+
+    @property
+    def nbrows(self) -> int:
+        return self.colind.shape[0]
+
+    @property
+    def bs(self) -> int:
+        return self.vals_pad.shape[-1]
+
+
+def partition_bsr(B: BSRMatrix, nshards: int) -> DistBSR:
+    """Block-row partition with per-shard diagonal blocks — the distributed
+    unstructured-BSR path (reference: PETSc partitions BAIJ row-wise and each
+    rank preconditions its diagonal block, blasted_petsc.cpp:281-298)."""
+    nb = B.nbrows
+    if nb % nshards:
+        raise ValueError(f"nbrows {nb} not divisible by nshards {nshards}")
+    nl = nb // nshards
+    P = B.pad()
+
+    rowptr = np.asarray(B.rowptr)
+    colind = np.asarray(B.colind)
+    vals = np.asarray(B.vals)
+    rows = np.repeat(np.arange(nb), np.diff(rowptr))
+
+    sels = []
+    Wl = 1
+    for d in range(nshards):
+        lo, hi = d * nl, (d + 1) * nl
+        sel = (rows >= lo) & (rows < hi) & (colind >= lo) & (colind < hi)
+        cnt = np.bincount(rows[sel] - lo, minlength=nl)
+        Wl = max(Wl, int(cnt.max()) if cnt.size else 1)
+        sels.append(sel)
+
+    locals_ = []
+    for d in range(nshards):
+        sel, lo = sels[d], d * nl
+        lr = rows[sel] - lo
+        rp = np.zeros(nl + 1, dtype=np.int32)
+        np.add.at(rp[1:], lr, 1)
+        rp = np.cumsum(rp, dtype=np.int32)
+        sub = BSRMatrix.from_arrays(rp, (colind[sel] - lo).astype(np.int32),
+                                    vals[sel], B.bs)
+        locals_.append(sub.pad(Wl))
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *locals_)
+
+    return DistBSR(colind=P.colind, vals_pad=P.vals_pad,
                    local=stacked, nshards=nshards)

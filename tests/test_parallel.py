@@ -219,3 +219,83 @@ def test_2d_mesh_dcn_ici_equivalence():
         prec_type=PrecType.JACOBI))
     y2 = np.asarray(gs.amat(shard_vector(mesh2, b)))
     np.testing.assert_allclose(y2, sp @ b, rtol=1e-12, atol=1e-12)
+
+
+# -------------------------------------------- unstructured BSR (bjacobi) -----
+
+def test_dist_bspmv_matches_serial():
+    """Block-row-sharded SpMV over an unstructured bs=4 matrix (the
+    reference's BAIJ path, blasted_petsc.cpp:281-298)."""
+    from blasted_tpu.parallel import partition_bsr
+    from blasted_tpu.parallel.dist import dist_bspmv, shard_dist_csr
+    from blasted_tpu.ops.spmv import bspmv
+    from helpers import random_bsr
+
+    B = random_bsr(32, 4, density=0.2, seed=5)      # n = 128, not banded
+    mesh = make_mesh(4)
+    dB = shard_dist_csr(mesh, partition_bsr(B, 4))
+    x = np.random.default_rng(0).standard_normal(B.nrows)
+    y = np.asarray(dist_bspmv(mesh, dB.colind, dB.vals_pad,
+                              shard_vector(mesh, x)))
+    yref = np.asarray(bspmv(B.pad(), jnp.asarray(x).reshape(-1, 4))).reshape(-1)
+    np.testing.assert_allclose(y, yref, rtol=1e-12, atol=1e-12)
+
+
+def test_dist_bsr_local_prec_matches_bjacobi_oracle():
+    """Shard-local block-ILU0 on an unstructured BSR == serial block-ILU0 of
+    each diagonal block (the per-shard serial bjacobi oracle)."""
+    from blasted_tpu.parallel import partition_bsr
+    from blasted_tpu.parallel.dist import shard_dist_csr
+    from blasted_tpu.precond.ilu0 import BlockILU0Preconditioner
+    from blasted_tpu.sparse.bsr import BSRMatrix
+    from helpers import random_bsr
+
+    B = random_bsr(32, 4, density=0.2, seed=9)
+    mesh = make_mesh(4)
+    dB = shard_dist_csr(mesh, partition_bsr(B, 4))
+    settings = AsyncSolverSettings(prec_type=PrecType.ILU0,
+                                   nbuildsweeps=5, napplysweeps=5)
+    prec = LocalBlockPreconditioner(mesh, dB, settings).compute()
+    r = np.random.default_rng(2).standard_normal(B.nrows)
+    z = np.asarray(prec.apply(shard_vector(mesh, r)))
+
+    rowptr = np.asarray(B.rowptr)
+    colind = np.asarray(B.colind)
+    vals = np.asarray(B.vals)
+    rows = np.repeat(np.arange(B.nbrows), np.diff(rowptr))
+    nbl = B.nbrows // 4
+    for d in range(4):
+        lo, hi = d * nbl, (d + 1) * nbl
+        sel = (rows >= lo) & (rows < hi) & (colind >= lo) & (colind < hi)
+        lr = rows[sel] - lo
+        rp = np.zeros(nbl + 1, dtype=np.int32)
+        np.add.at(rp[1:], lr, 1)
+        rp = np.cumsum(rp, dtype=np.int32)
+        blk = BSRMatrix.from_arrays(rp, (colind[sel] - lo).astype(np.int32),
+                                    vals[sel], 4)
+        p = BlockILU0Preconditioner(blk.pad(), nbuildsweeps=5, napplysweeps=5)
+        p.compute()
+        zref = np.asarray(
+            p.apply(jnp.asarray(r[lo * 4:hi * 4]).reshape(-1, 4))).reshape(-1)
+        np.testing.assert_allclose(z[lo * 4:hi * 4], zref,
+                                   rtol=1e-11, atol=1e-11)
+
+
+def test_dist_bsr_solve_through_api():
+    """solve(BSRMatrix, mesh=...) on a non-banded bs=4 matrix routes to the
+    general block path and converges to the direct solution."""
+    from blasted_tpu.api import BlastedOptions, solve
+    from helpers import random_bsr
+
+    B = random_bsr(32, 4, density=0.2, seed=11)
+    rng = np.random.default_rng(4)
+    xref = rng.standard_normal(B.nrows)
+    b = B.to_scipy() @ xref
+    mesh = make_mesh(4)
+    x, info, _ = solve(B, b, BlastedOptions(pc_type="ilu0",
+                                            async_sweeps=(4, 4),
+                                            rtol=1e-11, maxiter=400),
+                       mesh=mesh)
+    assert bool(info.converged)
+    err = np.abs(np.asarray(x) - xref).max() / np.abs(xref).max()
+    assert err < 1e-8
