@@ -68,6 +68,21 @@ class BlastedOptions:
     maxiter: int = 1000
     restart: int = 30
     prefer_dia: bool = True
+    # AMG namespace (-blasted_amg_*) — the analogue of configuring the PCMG /
+    # PCGAMG stack the reference walker recurses into (blasted_petsc.cpp
+    # :610-630); maps onto precond.multigrid.AMGSettings.
+    amg_group: int = 4                  # -blasted_amg_group
+    amg_grid_shape: tuple | None = None  # -blasted_amg_grid_shape nx,ny,nz
+    amg_cycle: str = "v"                # -blasted_amg_cycle v|w
+    amg_npre: int = 1                   # -blasted_amg_npre
+    amg_npost: int = 1                  # -blasted_amg_npost
+    amg_max_levels: int = 12            # -blasted_amg_max_levels
+    amg_coarse_size: int = 200          # -blasted_amg_coarse_size
+    amg_smoother_kind: str = "factory"  # factory|jacobi|chebyshev
+    amg_sub_pc_type: str = "sgs"        # factory smoother's -blasted_pc_type
+    amg_smooth_prolongator: bool = False
+    amg_jacobi_omega: float = 1.4
+    amg_cheby_degree: int = 2
 
     @staticmethod
     def from_dict(opts: dict) -> "BlastedOptions":
@@ -76,10 +91,10 @@ class BlastedOptions:
             k = key.lstrip("-")
             if k.startswith("blasted_"):
                 k = k[len("blasted_"):]
-            if k == "async_sweeps":
+            if k in ("async_sweeps", "amg_grid_shape"):
                 if isinstance(val, str):
                     val = tuple(int(s) for s in val.split(","))
-                o.async_sweeps = tuple(val)
+                setattr(o, k, tuple(val))
             elif k == "async_fact_init_type":
                 o.fact_init_type = str(val)
             elif k == "async_apply_init_type":
@@ -129,6 +144,36 @@ class BlastedOptions:
             fact_init=FactInit(self.fact_init_type),
             apply_init=ApplyInit(self.apply_init_type),
             compute_precinfo=self.compute_precinfo,
+            amg=self.amg_settings() if self.pc_type == "amg" else None,
+        )
+
+    def amg_settings(self):
+        """Build AMGSettings from the ``-blasted_amg_*`` namespace; the
+        factory-smoother settings come from the same option set that would
+        configure a standalone preconditioner (``amg_sub_pc_type`` in place
+        of ``pc_type``) — the reference walker hands each MG level's smoother
+        the identical ``-blasted_*`` options (blasted_petsc.cpp:610-630)."""
+        from .precond.multigrid import AMGSettings
+
+        # ns=1 triangular sweeps have no Gauss-Seidel character and make a
+        # poor smoother (measured 47 vs 12 outer iterations at 32^3 — see
+        # factory.create_preconditioner); floor at 2.
+        smoother = AsyncSolverSettings(
+            prec_type=PrecType(self.amg_sub_pc_type),
+            nbuildsweeps=int(self.async_sweeps[0]),
+            napplysweeps=max(2, int(self.async_sweeps[1])),
+            use_symmetric_scaling=self.use_symmetric_scaling,
+            fact_init=FactInit(self.fact_init_type),
+            apply_init=ApplyInit(self.apply_init_type),
+        )
+        return AMGSettings(
+            group=self.amg_group, grid_shape=self.amg_grid_shape,
+            max_levels=self.amg_max_levels, coarse_size=self.amg_coarse_size,
+            cycle=self.amg_cycle, npre=self.amg_npre, npost=self.amg_npost,
+            smooth_prolongator=self.amg_smooth_prolongator,
+            smoother_kind=self.amg_smoother_kind,
+            jacobi_omega=self.amg_jacobi_omega,
+            cheby_degree=self.amg_cheby_degree, smoother=smoother,
         )
 
 
@@ -222,7 +267,7 @@ def solve(A, b, options=None, mesh=None, x0=None):
             # reference's PCMG/PCGAMG + per-rank-blasted pattern
             from .parallel.dist_mg import DistMGSolver
 
-            ds = DistMGSolver(A, mesh)
+            ds = DistMGSolver(A, mesh, options.amg_settings())
         if ds is None and options.prefer_dia:
             # banded fast path: ppermute neighbour halo exchange + fully
             # on-device shard-local preconditioners (parallel/dist_dia.py)

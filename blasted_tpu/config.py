@@ -92,6 +92,9 @@ class AsyncSolverSettings(SolverSettings):
     apply_init: ApplyInit = ApplyInit.ZERO
     compute_precinfo: bool = False
     sai_pattern_power: int = 1
+    # populated (with a precond.multigrid.AMGSettings) only when
+    # prec_type == AMG; kept untyped to avoid a config→multigrid import cycle
+    amg: object | None = None
 
 
 def parse_fact_init(name: str) -> FactInit:

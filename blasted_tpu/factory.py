@@ -119,6 +119,8 @@ def create_preconditioner(mat, settings: SolverSettings) -> Preconditioner:
         if not isinstance(mat, (CSRMatrix, BSRMatrix)):
             raise ValueError("amg builds its hierarchy from the host "
                              "container; pass a CSRMatrix/BSRMatrix")
+        if s.amg is not None:   # full -blasted_amg_* namespace (api.py)
+            return MultigridPreconditioner(mat, s.amg)
         # ns=1 triangular sweeps have no Gauss-Seidel character (the first
         # Jacobi-on-triangular sweep from zero is just D^-1) and make a poor
         # smoother — measured 47 vs 12 outer iterations at 32^3; floor at 2.

@@ -15,6 +15,7 @@ from blasted_tpu.api import (
     solve,
 )
 from blasted_tpu.apps import poisson3d_system
+from blasted_tpu.config import PrecType
 from helpers import random_csr
 
 
@@ -179,3 +180,66 @@ def test_one_call_solve_amg():
         assert bool(info.converged)
         err = np.abs(np.asarray(x) - xref).max() / np.abs(xref).max()
         assert err < 1e-6
+
+
+def test_amg_options_roundtrip():
+    """-blasted_amg_* options reach AMGSettings (and the factory honors
+    them) — the per-level smoother configuration the reference walker does
+    for PCMG stacks (blasted_petsc.cpp:610-630)."""
+    o = BlastedOptions.from_argv([
+        "-blasted_pc_type", "amg",
+        "-blasted_amg_group", "8",
+        "-blasted_amg_cycle", "w",
+        "-blasted_amg_npre", "2", "-blasted_amg_npost", "3",
+        "-blasted_amg_max_levels", "5",
+        "-blasted_amg_coarse_size", "64",
+        "-blasted_amg_smoother_kind", "jacobi",
+        "-blasted_amg_sub_pc_type", "ilu0",
+        "-blasted_amg_jacobi_omega", "1.1",
+        "-blasted_amg_grid_shape", "10,10,10",
+        "-blasted_async_sweeps", "3,4",
+    ])
+    s = o.amg_settings()
+    assert (s.group, s.cycle, s.npre, s.npost) == (8, "w", 2, 3)
+    assert (s.max_levels, s.coarse_size) == (5, 64)
+    assert s.smoother_kind == "jacobi" and s.jacobi_omega == 1.1
+    assert s.grid_shape == (10, 10, 10)
+    assert s.smoother.prec_type == PrecType.ILU0
+    assert (s.smoother.nbuildsweeps, s.smoother.napplysweeps) == (3, 4)
+    # settings() carries the AMGSettings into the factory
+    ss = o.settings()
+    assert ss.amg is not None and ss.amg.cycle == "w"
+
+    from blasted_tpu.precond import MultigridPreconditioner
+
+    A, b, _ = poisson3d_system((8, 8, 8))
+    ctx = setup_local_preconditioner(A, {"blasted_pc_type": "amg",
+                                         "blasted_amg_npre": "2",
+                                         "blasted_amg_cycle": "w"})
+    assert isinstance(ctx.prec, MultigridPreconditioner)
+    assert ctx.prec.settings.npre == 2 and ctx.prec.settings.cycle == "w"
+
+
+def test_mesh_amg_nondefault_smoother():
+    """solve(..., mesh=...) with pc_type=amg forwards the -blasted_amg_*
+    namespace to DistMGSolver (smoother sub-type + cycle knobs)."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices")
+    from blasted_tpu.parallel import make_mesh
+
+    A, b, _ = poisson3d_system((18, 18, 16), dist="uniform")  # 4096 rows
+    xref = np.linalg.solve(A.to_scipy().toarray(), b)
+    x, info, ds = solve(A, b, {"blasted_pc_type": "amg",
+                               "blasted_amg_sub_pc_type": "jacobi",
+                               "blasted_amg_npre": "2",
+                               "blasted_amg_npost": "2",
+                               "blasted_amg_cycle": "w",
+                               "ksp_type": "cg", "rtol": 1e-10,
+                               "maxiter": 500}, mesh=make_mesh(4))
+    assert bool(info.converged)
+    assert ds.settings.cycle == "w" and ds.settings.npre == 2
+    assert ds.settings.smoother.prec_type == PrecType.JACOBI
+    err = np.abs(np.asarray(x) - xref).max() / np.abs(xref).max()
+    assert err < 1e-6
