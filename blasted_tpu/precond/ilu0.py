@@ -47,7 +47,12 @@ from ..ops.sweeps import (
 from ..sparse.bsr import PaddedBSR
 from ..sparse.csr import PaddedCSR, extend_zero
 from .base import Preconditioner, PrecInfo
-from .ilu_pattern import compute_ilu_positions, pad_ilu_positions, rows_of_nnz
+from .ilu_pattern import (
+    compute_fact_slots,
+    compute_ilu_positions,
+    pad_ilu_positions,
+    rows_of_nnz,
+)
 from .levels import (
     compute_levels_lower,
     compute_levels_upper,
@@ -78,6 +83,13 @@ class _ILUSymbolic(NamedTuple):
     # (l_ic reads l_ik, k<c, of the same row); this many masked inner sweeps
     # make the per-level update exact: max lower-entries-per-row + 1.
     fact_inner: int
+    # entry-level exact schedule (ilu_pattern.compute_fact_slots): nnz ids
+    # sorted by slot + padded segment table; the SEQUENTIAL path scans slots
+    # and updates each entry exactly once instead of masked full sweeps
+    slot_order: jax.Array   # (nnz + maxseg,) int32, sentinel nnz
+    slot_starts: jax.Array  # (nslots,) int32
+    slot_lens: jax.Array    # (nslots,) int32
+    maxseg: int
 
 
 class _ILUState(NamedTuple):
@@ -112,6 +124,7 @@ def _build_symbolic(P, bs_rows=None) -> _ILUSymbolic:
     rows = rows_of_nnz(rowptr)
     nlower_per_row = np.bincount(rows[is_lower], minlength=n) if nnz else \
         np.zeros(n, dtype=np.int64)
+    slots = compute_fact_slots(rowptr, colind_np, fact_level)
     return _ILUSymbolic(
         lowerp=jnp.asarray(padded.lowerp),
         upperp=jnp.asarray(padded.upperp),
@@ -124,7 +137,59 @@ def _build_symbolic(P, bs_rows=None) -> _ILUSymbolic:
         nlow=int(fact_level.max()) + 1,
         nup=int(up_level.max()) + 1,
         fact_inner=int(nlower_per_row.max()) + 1,
+        slot_order=jnp.asarray(slots.order),
+        slot_starts=jnp.asarray(slots.starts),
+        slot_lens=jnp.asarray(slots.lens),
+        maxseg=slots.maxseg,
     )
+
+
+def _segmented_exact_factor(base, ilu, sym: _ILUSymbolic, diagind,
+                            block: bool):
+    """Exact IKJ ILU(0) by entry-level wavefront slots: one ``lax.scan`` step
+    per slot touches only that slot's (padded) entries — Σ_slots pad(|slot|)
+    total work vs the masked full-sweep form's nfact × fact_inner × nnz
+    (reference sequential run: async_ilu_factor.cpp with 1 thread/sweep).
+    Every dependency of a slot's entries is final when the slot runs, so one
+    update per entry reproduces the sequential factorization exactly."""
+    nnz = base.shape[0]
+    pairs = sym.lowerp.shape[1]
+    pad = jnp.full((1, pairs), nnz, dtype=sym.lowerp.dtype)
+    lowerp = jnp.concatenate([sym.lowerp, pad])
+    upperp = jnp.concatenate([sym.upperp, pad])
+    base_e = extend_zero(base)
+    islow_e = jnp.concatenate(
+        [sym.is_lower, jnp.zeros((1,), sym.is_lower.dtype)])
+    col_e = jnp.concatenate([sym.colind, jnp.zeros((1,), sym.colind.dtype)])
+    ar = jnp.arange(sym.maxseg)
+
+    def body(ilu_e, seg):
+        start, ln = seg
+        idx = jax.lax.dynamic_slice(sym.slot_order, (start,), (sym.maxseg,))
+        idx = jnp.where(ar < ln, idx, nnz)
+        lp, up = lowerp[idx], upperp[idx]
+        islow = islow_e[idx]
+        if block:
+            prod = jnp.einsum("spij,spjk->sik", ilu_e[lp], ilu_e[up],
+                              preferred_element_type=ilu_e.dtype)
+            s = base_e[idx] - prod
+            # u_cc is final (diag of row c sits in a strictly earlier slot)
+            dinv = invert_diag_blocks(ilu_e[diagind[col_e[idx]]])
+            lowered = jnp.einsum("sij,sjk->sik", s, dinv,
+                                 preferred_element_type=ilu_e.dtype)
+            newv = jnp.where(islow[:, None, None], lowered, s)
+        else:
+            s = base_e[idx] - jnp.sum(ilu_e[lp] * ilu_e[up], axis=1)
+            ud = ilu_e[diagind[col_e[idx]]]
+            newv = jnp.where(islow, s / jnp.where(islow, ud, 1.0), s)
+        ilu_e = ilu_e.at[idx].set(newv)
+        # sentinel lanes all landed on slot nnz; restore its zero
+        ilu_e = ilu_e.at[nnz].set(jnp.zeros(ilu_e.shape[1:], ilu_e.dtype))
+        return ilu_e, None
+
+    ilu_e, _ = jax.lax.scan(body, extend_zero(ilu),
+                            (sym.slot_starts, sym.slot_lens))
+    return ilu_e[:nnz]
 
 
 # ================================================================= scalar ====
@@ -205,17 +270,9 @@ class ILU0Preconditioner(Preconditioner):
         info0 = self._nonlinear_res(base, ilu) if self.compute_precinfo else 0.0
 
         if self.nbuildsweeps == SEQUENTIAL:
-            # exact: fact_inner masked sweeps per wavefront in dependency order
-            # (inner sweeps resolve the within-row lower-entry chain)
-            rows = jnp.asarray(rows_of_nnz(np.asarray(self.mat.rowptr)))
-            lev_of_nnz = sym.fact_level[rows]
-
-            def body(it, x):
-                lev = it // sym.fact_inner
-                xn = sweep(x)
-                return jnp.where(lev_of_nnz == lev, xn, x)
-
-            ilu = jax.lax.fori_loop(0, sym.nfact * sym.fact_inner, body, ilu)
+            # exact: entry-level slot schedule, each entry updated once
+            ilu = _segmented_exact_factor(base, ilu, sym, self.mat.diagind,
+                                          block=False)
         else:
             ilu = run_sweeps(self.nbuildsweeps, sweep, ilu)
 
@@ -377,15 +434,8 @@ class BlockILU0Preconditioner(Preconditioner):
         sweep = self._factor_sweep_fn(base)
         info0 = self._nonlinear_res(base, ilu) if self.compute_precinfo else 0.0
         if self.nbuildsweeps == SEQUENTIAL:
-            rows = jnp.asarray(rows_of_nnz(np.asarray(self.mat.rowptr)))
-            lev_of_nnz = sym.fact_level[rows]
-
-            def body(it, x):
-                lev = it // sym.fact_inner
-                xn = sweep(x)
-                return jnp.where((lev_of_nnz == lev)[:, None, None], xn, x)
-
-            ilu = jax.lax.fori_loop(0, sym.nfact * sym.fact_inner, body, ilu)
+            ilu = _segmented_exact_factor(base, ilu, sym, self.mat.diagind,
+                                          block=True)
         else:
             ilu = run_sweeps(self.nbuildsweeps, sweep, ilu)
 
