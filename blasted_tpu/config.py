@@ -92,6 +92,10 @@ class AsyncSolverSettings(SolverSettings):
     apply_init: ApplyInit = ApplyInit.ZERO
     compute_precinfo: bool = False
     sai_pattern_power: int = 1
+    # Mixed-precision apply (TPU-first): factor in the matrix dtype, store
+    # the triangular-solve factors narrower (e.g. jnp.bfloat16).  None keeps
+    # the matrix dtype.  Honoured by the DIA/block-DIA ILU operators.
+    apply_dtype: object | None = None
     # populated (with a precond.multigrid.AMGSettings) only when
     # prec_type == AMG; kept untyped to avoid a config→multigrid import cycle
     amg: object | None = None

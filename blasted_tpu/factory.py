@@ -168,6 +168,7 @@ def create_preconditioner(mat, settings: SolverSettings) -> Preconditioner:
                 P, nbuildsweeps=nbuild, napplysweeps=napply,
                 use_scaling=s.use_symmetric_scaling,
                 fact_init=s.fact_init, apply_init=s.apply_init,
+                apply_dtype=s.apply_dtype,
                 compute_precinfo=s.compute_precinfo)
         if is_block:
             return BlockILU0Preconditioner(
@@ -181,6 +182,7 @@ def create_preconditioner(mat, settings: SolverSettings) -> Preconditioner:
                 P, nbuildsweeps=nbuild, napplysweeps=napply,
                 use_scaling=s.use_symmetric_scaling,
                 fact_init=s.fact_init, apply_init=s.apply_init,
+                apply_dtype=s.apply_dtype,
                 compute_precinfo=s.compute_precinfo)
         return ILU0Preconditioner(
             P, nbuildsweeps=nbuild, napplysweeps=napply,

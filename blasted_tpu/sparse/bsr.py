@@ -88,6 +88,10 @@ class BSRMatrix:
     def with_vals(self, vals: jax.Array) -> "BSRMatrix":
         return BSRMatrix(self.rowptr, self.colind, vals, self.diagind)
 
+    def astype(self, dtype) -> "BSRMatrix":
+        """Value-dtype cast sharing the index arrays (see CSRMatrix.astype)."""
+        return self.with_vals(self.vals.astype(dtype))
+
     # -- assembly / value updates (reference: blockmatrices.hpp:283-344) -----
 
     def scale_all(self, factor) -> "BSRMatrix":

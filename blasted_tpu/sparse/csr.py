@@ -100,6 +100,11 @@ class CSRMatrix:
         sharing the original matrix's index arrays (include/solverops_ilu0.hpp:74-78)."""
         return CSRMatrix(self.rowptr, self.colind, vals, self.diagind)
 
+    def astype(self, dtype) -> "CSRMatrix":
+        """Value-dtype cast sharing the index arrays (float32 working tier
+        for the f64-less TPU chips; indices stay int32)."""
+        return self.with_vals(self.vals.astype(dtype))
+
     # -- assembly / value updates (reference: blockmatrices.hpp:283-344) -----
 
     def scale_all(self, factor) -> "CSRMatrix":

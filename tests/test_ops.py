@@ -173,3 +173,22 @@ def test_bdia_gemv3():
                               jnp.asarray(y.reshape(-1, bs)))).reshape(-1)
     np.testing.assert_allclose(z, 2.0 * (Bm.to_scipy() @ x) - y,
                                rtol=1e-12, atol=1e-12)
+
+
+def test_invert_diag_blocks_gauss_jordan():
+    """The batched Gauss-Jordan small-block inverse (ops/sweeps.py) matches
+    LAPACK, including blocks that *require* pivoting (zero leading pivot)."""
+    from blasted_tpu.ops.sweeps import invert_diag_blocks
+
+    rng = np.random.default_rng(7)
+    for bs in (2, 3, 4, 5, 7, 8):
+        a = rng.standard_normal((64, bs, bs)) + 2.0 * np.eye(bs)
+        # force a zero leading pivot in a few blocks (pivoting required)
+        a[:8, 0, 0] = 0.0
+        inv = np.asarray(invert_diag_blocks(jnp.asarray(a)))
+        np.testing.assert_allclose(inv, np.linalg.inv(a), rtol=1e-9,
+                                   atol=1e-10)
+    # bs > 8 falls back to jnp.linalg.inv
+    a = rng.standard_normal((4, 9, 9)) + 3.0 * np.eye(9)
+    np.testing.assert_allclose(np.asarray(invert_diag_blocks(jnp.asarray(a))),
+                               np.linalg.inv(a), rtol=1e-9, atol=1e-10)
