@@ -251,7 +251,7 @@ def bench_block(bs: int, g: int):
         block_upper_solve_sweep,
         invert_diag_blocks,
     )
-    from blasted_tpu.precond.bdia_ilu0 import bdia_factor_sweep
+    from blasted_tpu.precond.bdia_ilu0 import bdia_factor_sweeps_soa
     from blasted_tpu.precond.dia_ilu0 import dia_pairs
     from blasted_tpu.sparse.bdia import BlockDiaMatrix
 
@@ -326,14 +326,14 @@ def bench_block(bs: int, g: int):
     frac_bspmv = _record(f"block{bs}_bspmv", t_bspmv, bytes_stream,
                          stream_bw, nnz)
 
-    # ---- block ILU0 factor sweep (self-stable fixed point) ----
+    # ---- block ILU0 factor sweep (self-stable fixed point; SoA hot loop,
+    # the production path — the AoS↔SoA conversions sit outside the sweep
+    # loop so the two-point slope cancels them exactly) ----
     def mk_fact(iters):
         @jax.jit
         def run(Am, ilu):
-            def body(i, v):
-                return bdia_factor_sweep(Am.offsets, pairs, d0, Am.mask,
-                                         Am.data, v)
-            out = jax.lax.fori_loop(0, iters, body, ilu)
+            out = bdia_factor_sweeps_soa(Am.offsets, pairs, d0, Am.mask,
+                                         Am.data, ilu, iters)
             return jnp.sum(out[d0])
         return run
 
@@ -349,10 +349,8 @@ def bench_block(bs: int, g: int):
     # ---- block ILU0 apply sweep-pair ----
     @jax.jit
     def factor8(Am):
-        def body(i, v):
-            return bdia_factor_sweep(Am.offsets, pairs, d0, Am.mask,
-                                     Am.data, v)
-        ilu = jax.lax.fori_loop(0, 8, body, Am.data)
+        ilu = bdia_factor_sweeps_soa(Am.offsets, pairs, d0, Am.mask,
+                                     Am.data, Am.data, 8)
         eye = jnp.eye(bs, dtype=ilu.dtype)
         dmask = Am.mask[d0][:, None, None]
         dinv = invert_diag_blocks(jnp.where(dmask, ilu[d0], eye))
@@ -502,11 +500,17 @@ def main():
     if "solve" in PARTS and scal is not None:
         bench_solve(scal)
 
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_detail.json"), "w") as f:
-            json.dump(DETAIL, f, indent=1, sort_keys=True)
-    except OSError:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_detail.json")
+    try:                       # merge so partial (BENCH_PARTS) runs compose
+        merged = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                merged = json.load(f)
+        merged.update(DETAIL)
+        with open(path, "w") as f:
+            json.dump(merged, f, indent=1, sort_keys=True)
+    except (OSError, ValueError):
         pass
     print(json.dumps(DETAIL, indent=1, sort_keys=True), file=sys.stderr)
 

@@ -11,8 +11,8 @@ Here the host application is JAX itself, so the integration surface is:
 
 - :class:`BlastedOptions` — parses the same ``blasted_*`` option names from a
   dict or an argv-style list (``-blasted_pc_type ilu0 -blasted_async_sweeps
-  4,3 ...``); ``blasted_thread_chunk_size`` is accepted and ignored (no TPU
-  meaning — SURVEY.md §2.5 P6 maps it to kernel tile sizes).
+  4,3 ...``); ``blasted_thread_chunk_size`` (P6 dynamic work chunking) sets
+  the exact-ILU slot-schedule chunk width (SURVEY.md §2.5 P6).
 - :class:`SolverContext` — the ``Blasted_data`` analogue: preconditioner +
   per-instance factor/apply timers and call counts.
 - :func:`setup_local_preconditioner` / :func:`compute_preconditioner` /
@@ -62,7 +62,8 @@ class BlastedOptions:
     fact_init_type: str = "init_original"   # -blasted_async_fact_init_type
     apply_init_type: str = "init_zero"      # -blasted_async_apply_init_type
     compute_precinfo: bool = False      # -blasted_compute_preconditioner_info
-    thread_chunk_size: int = 0          # accepted, no TPU meaning
+    thread_chunk_size: int = 0          # -blasted_thread_chunk_size: the
+    #   exact-ILU slot chunk width (P6 work-chunking; 0 = auto-fit)
     apply_dtype: str | None = None      # -blasted_apply_dtype bfloat16|float32
     #   (TPU addition: mixed-precision triangular-solve factors; the Krylov
     #    operator and vectors keep the matrix dtype)
@@ -148,6 +149,7 @@ class BlastedOptions:
             fact_init=FactInit(self.fact_init_type),
             apply_init=ApplyInit(self.apply_init_type),
             compute_precinfo=self.compute_precinfo,
+            thread_chunk_size=self.thread_chunk_size,
             apply_dtype=_parse_dtype(self.apply_dtype),
             amg=self.amg_settings() if self.pc_type == "amg" else None,
         )
@@ -272,33 +274,47 @@ def solve(A, b, options=None, mesh=None, x0=None):
         from .parallel import DistributedSolver
 
         kw = {"nrestart": options.restart} if options.ksp_type in ("gcr", "gmres") else {}
+        ctx = SolverContext(options=options)
         ds = None
-        if options.pc_type == "amg":
-            # global MG hierarchy, shard-local smoothers per level — the
-            # reference's PCMG/PCGAMG + per-rank-blasted pattern
-            from .parallel.dist_mg import DistMGSolver
+        with ctx.timers.time_factor():      # setup incl. shard-local factor
+            if options.pc_type == "amg":
+                # global MG hierarchy, shard-local smoothers per level — the
+                # reference's PCMG/PCGAMG + per-rank-blasted pattern
+                from .parallel.dist_mg import DistMGSolver
 
-            ds = DistMGSolver(A, mesh, options.amg_settings())
-        if ds is None and options.prefer_dia:
-            # banded fast path: ppermute neighbour halo exchange + fully
-            # on-device shard-local preconditioners (parallel/dist_dia.py)
-            from .parallel.dist_dia import DistBlockDiaSolver, DistDiaSolver
-            from .sparse.bsr import BSRMatrix
-            from .sparse.csr import CSRMatrix
-            from .sparse.dia import try_dia_from_csr
+                ds = DistMGSolver(A, mesh, options.amg_settings())
+            if ds is None and options.prefer_dia:
+                # banded fast path: ppermute neighbour halo exchange + fully
+                # on-device shard-local preconditioners (parallel/dist_dia.py)
+                from .parallel.dist_dia import DistBlockDiaSolver, DistDiaSolver
+                from .sparse.bsr import BSRMatrix
+                from .sparse.csr import CSRMatrix
+                from .sparse.dia import try_dia_from_csr
 
-            try:
-                if isinstance(A, CSRMatrix) and try_dia_from_csr(A) is not None:
-                    ds = DistDiaSolver(A, mesh, options.settings())
-                elif isinstance(A, BSRMatrix):
-                    ds = DistBlockDiaSolver(A, mesh, options.settings())
-            except (ValueError, TypeError):
-                ds = None  # not banded enough / not divisible — general path
-        if ds is None:
-            ds = DistributedSolver(A, mesh, options.settings())
+                try:
+                    if isinstance(A, CSRMatrix) and try_dia_from_csr(A) is not None:
+                        ds = DistDiaSolver(A, mesh, options.settings())
+                    elif isinstance(A, BSRMatrix):
+                        ds = DistBlockDiaSolver(A, mesh, options.settings())
+                except (ValueError, TypeError):
+                    ds = None  # not banded enough / not divisible — general path
+            if ds is None:
+                ds = DistributedSolver(A, mesh, options.settings())
+        # the context is the Blasted_data analogue for the mesh path too
+        # (VERDICT r2 #7; reference accumulates per-rank timers + PrecInfo,
+        # blasted_petsc.h:56-84, computeTotalTimes :723-735)
+        ctx.prec = ds
+        ctx.first_setup_done = True
+        if options.compute_precinfo:
+            pi = getattr(getattr(ds, "prec", None), "precinfo", lambda: None)()
+            if pi is not None:
+                ctx.infolist.append(pi)
+        t0 = time.perf_counter()
         x, info = ds.solve(b, x0=x0, method=options.ksp_type,
                            tol=options.rtol, maxiter=options.maxiter, **kw)
-        return x, info, ds
+        x.block_until_ready()
+        ctx.timers.apply_walltime += time.perf_counter() - t0
+        return x, info, ctx
 
     ctx, run = _single_chip_driver(A, options)
     x, info = run(b, x0)
@@ -338,7 +354,7 @@ def _single_chip_driver(A, options: BlastedOptions):
 
     from .ops.spmv import spmv
 
-    if hasattr(D, "gather_x") and hasattr(D, "diag_blocks"):
+    if getattr(D, "bs", 1) > 1:     # PaddedBSR or BlockDiaMatrix
         from .ops.spmv import bspmv
 
         def amat(x):

@@ -92,6 +92,10 @@ class AsyncSolverSettings(SolverSettings):
     apply_init: ApplyInit = ApplyInit.ZERO
     compute_precinfo: bool = False
     sai_pattern_power: int = 1
+    # P6 (dynamic work chunking, reference: solverfactory.hpp:54): on TPU
+    # this is the exact-ILU slot-schedule chunk width (ilu_pattern.
+    # compute_fact_slots); 0 = auto-fit
+    thread_chunk_size: int = 0
     # Mixed-precision apply (TPU-first): factor in the matrix dtype, store
     # the triangular-solve factors narrower (e.g. jnp.bfloat16).  None keeps
     # the matrix dtype.  Honoured by the DIA/block-DIA ILU operators.

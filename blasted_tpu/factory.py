@@ -175,7 +175,8 @@ def create_preconditioner(mat, settings: SolverSettings) -> Preconditioner:
                 P, nbuildsweeps=nbuild, napplysweeps=napply,
                 use_scaling=s.use_symmetric_scaling,
                 fact_init=s.fact_init, apply_init=s.apply_init,
-                compute_precinfo=s.compute_precinfo)
+                compute_precinfo=s.compute_precinfo,
+                thread_chunk_size=s.thread_chunk_size)
         if isinstance(P, DiaMatrix):
             from .precond.dia_ilu0 import DiaILU0Preconditioner
             return DiaILU0Preconditioner(
@@ -188,7 +189,8 @@ def create_preconditioner(mat, settings: SolverSettings) -> Preconditioner:
             P, nbuildsweeps=nbuild, napplysweeps=napply,
             use_scaling=s.use_symmetric_scaling,
             fact_init=s.fact_init, apply_init=s.apply_init,
-            compute_precinfo=s.compute_precinfo)
+            compute_precinfo=s.compute_precinfo,
+            thread_chunk_size=s.thread_chunk_size)
 
     if t in (PrecType.SAI, PrecType.ISAI):
         from .precond.sai import BlockSAIPreconditioner, SAIPreconditioner

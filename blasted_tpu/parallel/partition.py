@@ -20,7 +20,7 @@ mesh with static shapes.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +29,69 @@ import numpy as np
 from ..sparse.bsr import BSRMatrix, PaddedBSR
 from ..sparse.csr import CSRMatrix, PaddedCSR
 
-__all__ = ["DistCSR", "DistBSR", "partition_csr", "partition_bsr"]
+__all__ = ["DistCSR", "DistBSR", "partition_csr", "partition_bsr",
+           "build_ghost_plan"]
+
+
+def build_ghost_plan(cols_pad: np.ndarray, n_units: int, nshards: int):
+    """Ghost-index (compressed) halo-exchange plan for the unstructured
+    distributed SpMV — the analogue of PETSc's VecScatter, which the
+    reference inherits (reference: doc/user-doc.md:36; MatMult behind
+    blasted_petsc.cpp:229-298): each shard receives only the off-shard x
+    entries its rows actually reference, instead of an all-gather of x.
+
+    ``cols_pad``: (n_units, W) global padded column indices, sentinel
+    ``n_units``.  Returns ``(ghost_colind, sendidx, T)`` or ``None`` when the
+    plan saves nothing (dense coupling):
+
+    - ``ghost_colind`` (n_units, W) int32 — columns remapped to each owning
+      shard's local frame: [0, nl) local entries, nl + src*T + slot for the
+      ghost received from shard ``src``, sentinel nl + nshards*T (a zero);
+    - ``sendidx`` (nshards, nshards, T) int32 — for source shard ``src``,
+      row ``dst`` lists the local indices ``dst`` needs (0-padded; padding
+      slots are sent but never referenced);
+    - ``T`` — the per-(src,dst) halo width (max needed count, ≥ 1).
+
+    Per-device exchange volume becomes nshards·T values — proportional to
+    the halo, not to n.
+    """
+    nl = n_units // nshards
+    need = {}                     # (src, dst) -> sorted local indices on src
+    T = 1
+    for dst in range(nshards):
+        block = cols_pad[dst * nl:(dst + 1) * nl]
+        off = np.unique(block[(block < n_units)
+                              & ((block < dst * nl) | (block >= (dst + 1) * nl))])
+        owners = off // nl
+        for src in np.unique(owners):
+            loc = off[owners == src] - src * nl
+            need[(int(src), dst)] = loc
+            T = max(T, len(loc))
+    if nshards * T >= n_units:    # no traffic saving over all_gather
+        return None
+
+    sendidx = np.zeros((nshards, nshards, T), dtype=np.int32)
+    for (src, dst), loc in need.items():
+        sendidx[src, dst, :len(loc)] = loc
+
+    ghost = np.full_like(cols_pad, nl + nshards * T)      # sentinel slot
+    for dst in range(nshards):
+        sl = slice(dst * nl, (dst + 1) * nl)
+        block = cols_pad[sl]
+        local = (block >= dst * nl) & (block < (dst + 1) * nl)
+        out = ghost[sl]
+        out[local] = block[local] - dst * nl
+        stored = (block < n_units) & ~local
+        owners = block[stored] // nl
+        gcols = np.empty(stored.sum(), dtype=np.int64)
+        for src in np.unique(owners):
+            m = owners == src
+            loc = need[(int(src), dst)]
+            gcols[m] = nl + src * T + np.searchsorted(
+                loc, block[stored][m] - src * nl)
+        out[stored] = gcols
+        ghost[sl] = out
+    return ghost.astype(np.int32), sendidx, int(T)
 
 
 @jax.tree_util.register_dataclass
@@ -48,7 +110,11 @@ class DistCSR:
     vals_pad: jax.Array   # (n, W)
     # stacked local diagonal blocks (leading shard axis)
     local: PaddedCSR      # arrays shaped (nshards, nl, Wl) / (nshards, nl)
-    nshards: int
+    nshards: int = field(metadata=dict(static=True))
+    # ghost-exchange plan (see build_ghost_plan); None → all_gather fallback
+    ghost_colind: jax.Array | None = None    # (n, W) local-frame cols
+    sendidx: jax.Array | None = None         # (nshards, nshards, T)
+    ghost_width: int = field(default=0, metadata=dict(static=True))
 
     @property
     def nrows(self) -> int:
@@ -92,8 +158,12 @@ def partition_csr(A: CSRMatrix, nshards: int) -> DistCSR:
                for d in range(nshards)]
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *locals_)
 
+    plan = build_ghost_plan(np.asarray(P.colind), n, nshards)
+    gci, sidx, T = (None, None, 0) if plan is None else \
+        (jnp.asarray(plan[0]), jnp.asarray(plan[1]), plan[2])
     return DistCSR(colind=P.colind, vals_pad=P.vals_pad,
-                   local=stacked, nshards=nshards)
+                   local=stacked, nshards=nshards,
+                   ghost_colind=gci, sendidx=sidx, ghost_width=T)
 
 
 @jax.tree_util.register_dataclass
@@ -108,7 +178,11 @@ class DistBSR:
     colind: jax.Array     # (nbrows, W) global block cols, sentinel nbrows
     vals_pad: jax.Array   # (nbrows, W, bs, bs)
     local: PaddedBSR      # arrays shaped (nshards, nbl, Wl, ...) etc.
-    nshards: int
+    nshards: int = field(metadata=dict(static=True))
+    # ghost-exchange plan at block granularity (see build_ghost_plan)
+    ghost_colind: jax.Array | None = None
+    sendidx: jax.Array | None = None
+    ghost_width: int = field(default=0, metadata=dict(static=True))
 
     @property
     def nbrows(self) -> int:
@@ -155,5 +229,9 @@ def partition_bsr(B: BSRMatrix, nshards: int) -> DistBSR:
         locals_.append(sub.pad(Wl))
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *locals_)
 
+    plan = build_ghost_plan(np.asarray(P.colind), nb, nshards)
+    gci, sidx, T = (None, None, 0) if plan is None else \
+        (jnp.asarray(plan[0]), jnp.asarray(plan[1]), plan[2])
     return DistBSR(colind=P.colind, vals_pad=P.vals_pad,
-                   local=stacked, nshards=nshards)
+                   local=stacked, nshards=nshards,
+                   ghost_colind=gci, sendidx=sidx, ghost_width=T)

@@ -107,6 +107,25 @@ class Preconditioner:
         """(reference: solverops_base.hpp setApplyParams)"""
         self.solveparams = params
 
+    def shard_setup_data(self, precs):
+        """Stacked device inputs for the single-trace distributed setup
+        (``compute_state_with``): a pytree whose leaves carry a leading shard
+        axis (padded to uniform shapes across ``precs``), ``()`` when the
+        operator needs none, or ``NotImplemented`` when the operator cannot
+        set up inside one trace (ragged shard-specific schedules) — the
+        caller then falls back to a per-shard host loop."""
+        return NotImplemented
+
+    def compute_state_with(self, mat, setup):
+        """Pure setup: build the apply-state from ``(mat, setup)`` plus
+        static configuration only — the setup half of the shard-state
+        protocol (cf. :meth:`apply_with`).  Vmapped over the shard axis by
+        ``parallel.dist.LocalBlockPreconditioner`` so the distributed setup
+        is one compiled computation instead of a host loop over shards
+        (reference analogue: every MPI rank builds its context concurrently,
+        blasted_petsc.cpp:216-311).  Returns ``(state, PrecInfo | None)``."""
+        raise NotImplementedError
+
     def apply_state(self):
         """The state pytree :meth:`apply` actually reads.  Must be
         shape-uniform across shards of equal row count so per-shard states can

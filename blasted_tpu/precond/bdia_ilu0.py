@@ -39,11 +39,145 @@ from .levels import (
     exact_block_upper_solve,
 )
 
-__all__ = ["BlockDiaILU0Preconditioner", "bdia_factor_sweep"]
+__all__ = ["BlockDiaILU0Preconditioner", "bdia_factor_sweep",
+           "bdia_factor_sweeps_soa"]
 
 
 def _bmm(a, b):
     return jnp.einsum("nij,njk->nik", a, b, preferred_element_type=a.dtype)
+
+
+# ------------------------------------------------------------------ SoA -----
+# Structure-of-arrays factorization: block components as (bs, bs, nb) lane-
+# parallel streams.  Measured on a real v5e at nb=262144, bs=4: the batched
+# (nb,4,4)@(nb,4,4) einsum runs 3.65 ms (MXU tile padding burns ~97% of the
+# array) and jnp.linalg.inv 308 ms, while the same math as unrolled
+# elementwise FMAs over (bs,bs,nb) streams runs 0.018 ms (bmm) / 0.17 ms
+# (pivoted Gauss-Jordan) — ~200x/1800x.  The factor loop therefore converts
+# to SoA once, sweeps there, and converts back; SpMV/apply stay AoS (their
+# "rij,rj->ri" contraction already measures at ~0.9-1.05 of stream).
+
+def _soa(stacked):
+    """(k, nb, bs, bs) → tuple of (bs, bs, nb) per diagonal."""
+    return tuple(stacked[d].transpose(1, 2, 0)
+                 for d in range(stacked.shape[0]))
+
+
+def _aos(soa_t):
+    """tuple of (bs, bs, nb) → (k, nb, bs, bs)."""
+    return jnp.stack([a.transpose(2, 0, 1) for a in soa_t])
+
+
+def _shift_last(x, o: int):
+    """s[..., i] = x[..., i+o] along the last (row) axis, zero beyond ends."""
+    if o == 0:
+        return x
+    head = x.shape[:-1]
+    nb = x.shape[-1]
+    if o > 0:
+        z = jnp.zeros(head + (o,), x.dtype)
+        return jnp.concatenate([x[..., o:], z], axis=-1)
+    z = jnp.zeros(head + (-o,), x.dtype)
+    return jnp.concatenate([z, x[..., :o]], axis=-1)
+
+
+def _soa_bmm(a, b):
+    """(bs,bs,nb) block product: c[i,k] = Σ_j a[i,j]·b[j,k] — bs³ unrolled
+    lane-parallel FMAs (the TPU form of the reference's per-row Eigen block
+    products, kernels_ilu0_factorize.hpp:71-98)."""
+    bs = a.shape[0]
+    rows = []
+    for i in range(bs):
+        row = []
+        for k in range(bs):
+            acc = a[i, 0] * b[0, k]
+            for j in range(1, bs):
+                acc = acc + a[i, j] * b[j, k]
+            row.append(acc)
+        rows.append(jnp.stack(row))
+    return jnp.stack(rows)
+
+
+def _soa_gj_inverse(a):
+    """Batched pivoted Gauss-Jordan on (bs, bs, nb) streams — every step an
+    elementwise op over (nb,) lanes (cf. ops.sweeps._gauss_jordan_inverse,
+    which is the AoS form used outside the factor hot loop)."""
+    bs = a.shape[0]
+    nb = a.shape[-1]
+    dt = a.dtype
+    one = jnp.ones((nb,), dt)
+    M = [[a[i, j] for j in range(bs)]
+         + [one if i == j else jnp.zeros((nb,), dt) for j in range(bs)]
+         for i in range(bs)]
+    for col in range(bs):
+        cand = jnp.stack([jnp.abs(M[r][col]) for r in range(col, bs)])
+        rsel = jnp.argmax(cand, axis=0)                      # (nb,)
+        w = [rsel == (r - col) for r in range(col, bs)]      # one-hot masks
+        pivrow = [sum(jnp.where(w[r - col], M[r][j], 0.0)
+                      for r in range(col, bs)) for j in range(2 * bs)]
+        currow = list(M[col])
+        for r in range(col, bs):
+            M[r] = [jnp.where(w[r - col], currow[j], M[r][j])
+                    for j in range(2 * bs)]
+        d = pivrow[col]
+        dinv = 1.0 / jnp.where(d == 0, one, d)
+        pn = [pivrow[j] * dinv for j in range(2 * bs)]
+        for r in range(bs):
+            if r == col:
+                M[r] = pn
+            else:
+                f = M[r][col]
+                M[r] = [M[r][j] - f * pn[j] for j in range(2 * bs)]
+    return jnp.stack([jnp.stack(M[i][bs:]) for i in range(bs)])
+
+
+def _soa_sweep(offsets, pairs, d0, mask, base_t, ilu_t):
+    """One block Chow–Patel sweep over SoA tuples; re-masks every diagonal
+    so band fill stays exactly out of the ILU(0) pattern."""
+    bs = base_t[0].shape[0]
+    eye = jnp.eye(bs, dtype=base_t[0].dtype)[:, :, None]
+    dmask = mask[d0][None, None, :]
+    dinv = _soa_gj_inverse(jnp.where(dmask, ilu_t[d0], eye))
+    out = []
+    for d, o in enumerate(offsets):
+        if not pairs[d] and o > 0:
+            out.append(ilu_t[d])          # pair-free upper: fixed point
+            continue
+        s = base_t[d]
+        for (dl, du, o1) in pairs[d]:
+            s = s - _soa_bmm(ilu_t[dl], _shift_last(ilu_t[du], o1))
+        if o < 0:
+            s = _soa_bmm(s, _shift_last(dinv, o))
+        out.append(jnp.where(mask[d][None, None, :], s, 0.0))
+    return tuple(out)
+
+
+def bdia_factor_sweeps_soa(offsets, pairs, d0, mask, base, ilu0,
+                           nsweeps: int, level=None, fact_inner: int = 1,
+                           nlev: int = 0):
+    """Run the block fixed-point factorization in SoA layout.
+
+    ``base``/``ilu0`` are stacked AoS ``(k, nb, bs, bs)``; the conversion
+    happens once around the whole sweep loop.  With ``level`` given (exact
+    path), each of ``nlev × fact_inner`` steps commits only the rows of the
+    active wavefront, reproducing the sequential factorization."""
+    base_t = _soa(jnp.where(mask[:, :, None, None], base, 0.0))
+    ilu_t = _soa(ilu0)
+
+    if level is None:
+        def body(i, t):
+            return _soa_sweep(offsets, pairs, d0, mask, base_t, t)
+
+        ilu_t = jax.lax.fori_loop(0, nsweeps, body, ilu_t)
+    else:
+        def body(it, t):
+            l = it // fact_inner
+            tn = _soa_sweep(offsets, pairs, d0, mask, base_t, t)
+            sel = (level == l)[None, None, :]
+            return tuple(jnp.where(sel, a, b) for a, b in zip(tn, t))
+
+        ilu_t = jax.lax.fori_loop(0, nlev * fact_inner, body, ilu_t)
+    return _aos(ilu_t)
 
 
 def bdia_factor_sweep(offsets, pairs, d0, mask, base, ilu):
@@ -152,17 +286,18 @@ class BlockDiaILU0Preconditioner(Preconditioner):
         else:
             ilu = self._fact_initial(base)
 
-        sweep = self._factor_sweep_fn(base)
         info0 = self._nonlinear_res(base, ilu) if self.compute_precinfo else 0.0
+        # SoA hot loop (see module comment at bdia_factor_sweeps_soa):
+        # ~200x over the batched-einsum form on real TPU at bs=4
         if self.nbuildsweeps == SEQUENTIAL:
-            def body(it, x):
-                l = it // fact_inner
-                xn = sweep(x)
-                return jnp.where((low == l)[None, :, None, None], xn, x)
-
-            ilu = jax.lax.fori_loop(0, nlow * fact_inner, body, ilu)
+            ilu = bdia_factor_sweeps_soa(A.offsets, self._pairs, self._d0,
+                                         A.mask, base, ilu, 0,
+                                         level=low, fact_inner=fact_inner,
+                                         nlev=nlow)
         else:
-            ilu = run_sweeps(self.nbuildsweeps, sweep, ilu)
+            ilu = bdia_factor_sweeps_soa(A.offsets, self._pairs, self._d0,
+                                         A.mask, base, ilu,
+                                         self.nbuildsweeps)
 
         eye = jnp.eye(A.bs, dtype=base.dtype)
         dmask = A.mask[self._d0][:, None, None]

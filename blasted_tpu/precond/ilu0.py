@@ -101,7 +101,7 @@ class _ILUState(NamedTuple):
     up_level: jax.Array   # (n,)
 
 
-def _build_symbolic(P, bs_rows=None) -> _ILUSymbolic:
+def _build_symbolic(P, chunk_size: int = 0) -> _ILUSymbolic:
     rowptr = np.asarray(P.rowptr)
     n = rowptr.shape[0] - 1
     nnz = int(np.asarray(P.nnz_total))
@@ -124,7 +124,8 @@ def _build_symbolic(P, bs_rows=None) -> _ILUSymbolic:
     rows = rows_of_nnz(rowptr)
     nlower_per_row = np.bincount(rows[is_lower], minlength=n) if nnz else \
         np.zeros(n, dtype=np.int64)
-    slots = compute_fact_slots(rowptr, colind_np, fact_level)
+    slots = compute_fact_slots(rowptr, colind_np, fact_level,
+                               chunk_size=chunk_size)
     return _ILUSymbolic(
         lowerp=jnp.asarray(padded.lowerp),
         upperp=jnp.asarray(padded.upperp),
@@ -192,6 +193,62 @@ def _segmented_exact_factor(base, ilu, sym: _ILUSymbolic, diagind,
     return ilu_e[:nnz]
 
 
+class _ILUShardSetup(NamedTuple):
+    """Per-shard symbolic data padded to uniform shapes and stacked on a
+    leading shard axis, so the whole distributed ILU setup runs as ONE
+    vmapped computation (no host loop over shards; reference analogue: all
+    MPI ranks factorize concurrently, blasted_petsc.cpp:216-311).
+
+    Flat-nnz arrays are padded to the max shard nnz (``nnzE``) with the
+    sentinel remapped from each shard's own ``nnz_d`` to ``nnzE``; padded
+    entries carry zero values/False flags throughout the pipeline, so they
+    stay exactly zero across sweeps."""
+
+    lowerp: jax.Array    # (nnzE, Pmax) int32, sentinel nnzE
+    upperp: jax.Array    # (nnzE, Pmax)
+    colind: jax.Array    # (nnzE,) int32, 0 at padding
+    is_lower: jax.Array  # (nnzE,) bool, False at padding
+    rows: jax.Array      # (nnzE,) int32, 0 at padding
+    flatpos: jax.Array   # (nl, W) int32, sentinel nnzE
+    low_level: jax.Array  # (nl,)
+    up_level: jax.Array   # (nl,)
+
+
+def _build_shard_setup(precs) -> _ILUShardSetup:
+    """Pad each shard's symbolic data to common shapes and stack (host)."""
+    for p in precs:
+        if p.symbolic is None:
+            p.symbolic = _build_symbolic(p.mat)
+    nnzE = max(int(p.symbolic.colind.shape[0]) for p in precs)
+    Pmax = max(int(p.symbolic.lowerp.shape[1]) for p in precs)
+    out = {f: [] for f in _ILUShardSetup._fields}
+    for p in precs:
+        sym = p.symbolic
+        nnz_d = int(sym.colind.shape[0])
+        P_d = int(sym.lowerp.shape[1])
+        for name in ("lowerp", "upperp"):
+            src = np.asarray(getattr(sym, name))
+            a = np.full((nnzE, Pmax), nnzE, dtype=np.int32)
+            a[:nnz_d, :P_d] = np.where(src == nnz_d, nnzE, src)
+            out[name].append(a)
+        ci = np.zeros(nnzE, dtype=np.int32)
+        ci[:nnz_d] = np.asarray(sym.colind)
+        out["colind"].append(ci)
+        il = np.zeros(nnzE, dtype=bool)
+        il[:nnz_d] = np.asarray(sym.is_lower)
+        out["is_lower"].append(il)
+        rw = np.zeros(nnzE, dtype=np.int32)
+        rw[:nnz_d] = rows_of_nnz(np.asarray(p.mat.rowptr))
+        out["rows"].append(rw)
+        pos = np.asarray(p.mat.pos)
+        out["flatpos"].append(np.where(pos == nnz_d, nnzE, pos)
+                              .astype(np.int32))
+        out["low_level"].append(np.asarray(sym.low_level))
+        out["up_level"].append(np.asarray(sym.up_level))
+    return _ILUShardSetup(**{k: jnp.asarray(np.stack(v))
+                             for k, v in out.items()})
+
+
 # ================================================================= scalar ====
 
 class ILU0Preconditioner(Preconditioner):
@@ -201,7 +258,8 @@ class ILU0Preconditioner(Preconditioner):
                  napplysweeps: int = 1, use_scaling: bool = False,
                  fact_init: FactInit = FactInit.ORIGINAL,
                  apply_init: ApplyInit = ApplyInit.ZERO,
-                 compute_precinfo: bool = False):
+                 compute_precinfo: bool = False,
+                 thread_chunk_size: int = 0):
         super().__init__(mat)
         self.nbuildsweeps = nbuildsweeps
         self.napplysweeps = napplysweeps
@@ -209,6 +267,7 @@ class ILU0Preconditioner(Preconditioner):
         self.fact_init = fact_init
         self.apply_init = apply_init
         self.compute_precinfo = compute_precinfo
+        self.thread_chunk_size = thread_chunk_size
         self.symbolic: _ILUSymbolic | None = None
         self._vals = None  # flat (nnz,) values of the *current* matrix
 
@@ -220,7 +279,8 @@ class ILU0Preconditioner(Preconditioner):
         across compute() calls, solverops_ilu0.cpp:193-196); values are
         re-read from the current matrix on every compute()."""
         if self.symbolic is None:
-            self.symbolic = _build_symbolic(self.mat)
+            self.symbolic = _build_symbolic(
+                self.mat, chunk_size=self.thread_chunk_size)
         self._vals = self.mat.flat_vals()
 
     def _scaled_vals(self, scale):
@@ -336,6 +396,64 @@ class ILU0Preconditioner(Preconditioner):
         # not read by apply(); drop it for stacking
         return self.state._replace(ilu=jnp.zeros((0,), self.state.ilu.dtype))
 
+    def shard_setup_data(self, precs):
+        if self.nbuildsweeps == SEQUENTIAL:
+            # the entry-level slot schedules are ragged per shard; the exact
+            # factorization stays on the per-shard host loop
+            return NotImplemented
+        return _build_shard_setup(precs)
+
+    def compute_state_with(self, mat, su: _ILUShardSetup):
+        """Pure sweep-ILU(0) setup from (local matrix, padded symbolic) —
+        vmapped over shards by the distributed setup (see _ILUShardSetup)."""
+        nnzE = su.colind.shape[0]
+        dt = mat.vals_pad.dtype
+        vals = jnp.zeros((nnzE + 1,), dt).at[su.flatpos.reshape(-1)].set(
+            mat.vals_pad.reshape(-1))[:nnzE]
+        scale = None
+        if self.use_scaling:
+            scale = 1.0 / jnp.sqrt(vals[mat.diagind])
+            base = scale[su.rows] * vals * scale[su.colind]
+        else:
+            base = vals
+        if self.fact_init == FactInit.SGS:
+            diag = base[mat.diagind]
+            ilu = jnp.where(su.is_lower, base / diag[su.colind], base)
+        else:
+            ilu = base
+
+        def sweep(v):
+            ext = extend_zero(v)
+            s = base - jnp.sum(ext[su.lowerp] * ext[su.upperp], axis=1)
+            udiag = v[mat.diagind]
+            return jnp.where(su.is_lower, s / udiag[su.colind], s)
+
+        ilu = run_sweeps(self.nbuildsweeps, sweep, ilu)
+        ilu_pad = extend_zero(ilu)[su.flatpos]
+        state = _ILUState(
+            ilu=jnp.zeros((0,), dt),          # == apply_state() form
+            ilu_pad=ilu_pad,
+            ilu_dinv=1.0 / ilu[mat.diagind],
+            scale=scale,
+            low_level=su.low_level,
+            up_level=su.up_level,
+        )
+        info = None
+        if self.compute_precinfo:
+            from .diagnostics import diagonal_dominance
+            ext = extend_zero(ilu)
+            s = base - jnp.sum(ext[su.lowerp] * ext[su.upperp], axis=1)
+            udiag = ilu[mat.diagind]
+            s = s - jnp.where(su.is_lower, ilu * udiag[su.colind], ilu)
+            ldd_avg, ldd_min, udd_avg, udd_min = diagonal_dominance(
+                mat, ilu_pad)
+            info = PrecInfo(prec_remainder_norm=jnp.sum(jnp.abs(s)),
+                            lower_avg_diag_dom=ldd_avg,
+                            lower_min_diag_dom=ldd_min,
+                            upper_avg_diag_dom=udd_avg,
+                            upper_min_diag_dom=udd_min)
+        return state, info
+
     def patched_for_shards(self, precs):
         # wavefront trip counts become the max over shards (extra levels no-op)
         import copy
@@ -363,7 +481,8 @@ class BlockILU0Preconditioner(Preconditioner):
                  napplysweeps: int = 1, use_scaling: bool = False,
                  fact_init: FactInit = FactInit.ORIGINAL,
                  apply_init: ApplyInit = ApplyInit.ZERO,
-                 compute_precinfo: bool = False):
+                 compute_precinfo: bool = False,
+                 thread_chunk_size: int = 0):
         super().__init__(mat)
         self.nbuildsweeps = nbuildsweeps
         self.napplysweeps = napplysweeps
@@ -371,13 +490,15 @@ class BlockILU0Preconditioner(Preconditioner):
         self.fact_init = fact_init
         self.apply_init = apply_init
         self.compute_precinfo = compute_precinfo
+        self.thread_chunk_size = thread_chunk_size
         self.symbolic: _ILUSymbolic | None = None
         self._vals = None  # (nnzb, bs, bs) values of the *current* matrix
 
     def _ensure_symbolic(self):
         """See :meth:`ILU0Preconditioner._ensure_symbolic`."""
         if self.symbolic is None:
-            self.symbolic = _build_symbolic(self.mat)
+            self.symbolic = _build_symbolic(
+                self.mat, chunk_size=self.thread_chunk_size)
         self._vals = self.mat.flat_vals()
 
     def _scaled_vals(self, scale):
@@ -502,6 +623,75 @@ class BlockILU0Preconditioner(Preconditioner):
         bs = self.mat.bs
         return self.state._replace(
             ilu=jnp.zeros((0, bs, bs), self.state.ilu.dtype))
+
+    def shard_setup_data(self, precs):
+        if self.nbuildsweeps == SEQUENTIAL:
+            return NotImplemented
+        return _build_shard_setup(precs)
+
+    def compute_state_with(self, mat, su: _ILUShardSetup):
+        """Block analogue of :meth:`ILU0Preconditioner.compute_state_with`."""
+        nnzE = su.colind.shape[0]
+        bs = mat.bs
+        dt = mat.vals_pad.dtype
+        vals = jnp.zeros((nnzE + 1, bs, bs), dt).at[
+            su.flatpos.reshape(-1)].set(
+            mat.vals_pad.reshape(-1, bs, bs))[:nnzE]
+        scale = None
+        if self.use_scaling:
+            diag = jnp.diagonal(vals[mat.diagind], axis1=-2, axis2=-1)
+            scale = 1.0 / jnp.sqrt(diag)                      # (nl, bs)
+            base = vals * scale[su.rows][:, :, None] \
+                * scale[su.colind][:, None, :]
+        else:
+            base = vals
+        if self.fact_init == FactInit.SGS:
+            dinv = invert_diag_blocks(base[mat.diagind])
+            lowered = jnp.einsum("nij,njk->nik", base, dinv[su.colind],
+                                 preferred_element_type=dt)
+            ilu = jnp.where(su.is_lower[:, None, None], lowered, base)
+        else:
+            ilu = base
+
+        def sweep(v):
+            ext = extend_zero(v)
+            prod = jnp.einsum("npij,npjk->nik", ext[su.lowerp],
+                              ext[su.upperp], preferred_element_type=dt)
+            s = base - prod
+            dinv = invert_diag_blocks(v[mat.diagind])
+            lowered = jnp.einsum("nij,njk->nik", s, dinv[su.colind],
+                                 preferred_element_type=dt)
+            return jnp.where(su.is_lower[:, None, None], lowered, s)
+
+        ilu = run_sweeps(self.nbuildsweeps, sweep, ilu)
+        ilu_pad = extend_zero(ilu)[su.flatpos]
+        state = _ILUState(
+            ilu=jnp.zeros((0, bs, bs), dt),
+            ilu_pad=ilu_pad,
+            ilu_dinv=invert_diag_blocks(ilu[mat.diagind]),
+            scale=scale,
+            low_level=su.low_level,
+            up_level=su.up_level,
+        )
+        info = None
+        if self.compute_precinfo:
+            from .diagnostics import block_diagonal_dominance
+            ext = extend_zero(ilu)
+            prod = jnp.einsum("npij,npjk->nik", ext[su.lowerp],
+                              ext[su.upperp], preferred_element_type=dt)
+            s = base - prod
+            udiag = ilu[mat.diagind]
+            lu = jnp.einsum("nij,njk->nik", ilu, udiag[su.colind],
+                            preferred_element_type=dt)
+            s = s - jnp.where(su.is_lower[:, None, None], lu, ilu)
+            ldd_avg, ldd_min, udd_avg, udd_min = block_diagonal_dominance(
+                mat, ilu_pad)
+            info = PrecInfo(prec_remainder_norm=jnp.sum(jnp.abs(s)),
+                            lower_avg_diag_dom=ldd_avg,
+                            lower_min_diag_dom=ldd_min,
+                            upper_avg_diag_dom=udd_avg,
+                            upper_min_diag_dom=udd_min)
+        return state, info
 
     def patched_for_shards(self, precs):
         import copy

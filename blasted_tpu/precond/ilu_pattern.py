@@ -143,8 +143,15 @@ class FactSlots:
     maxseg: int         # max entries in any slot
 
 
-def compute_fact_slots(rowptr, colind, fact_level) -> FactSlots:
-    """Entry-level exact ILU(0) schedule (see :class:`FactSlots`)."""
+def compute_fact_slots(rowptr, colind, fact_level,
+                       chunk_size: int = 0) -> FactSlots:
+    """Entry-level exact ILU(0) schedule (see :class:`FactSlots`).
+
+    ``chunk_size`` > 0 overrides the auto-fitted slot chunk width — the
+    TPU re-expression of the reference's dynamic work-chunking knob
+    (``thread_chunk_size``, reference: solverfactory.hpp:54,
+    doc/user-doc.md:27; SURVEY.md §2.5 P6): it sets the granularity at
+    which independent scheduled work is dispatched per scan step."""
     rowptr = np.asarray(rowptr, dtype=np.int64)
     colind = np.asarray(colind, dtype=np.int64)
     fact_level = np.asarray(fact_level, dtype=np.int64)
@@ -177,11 +184,14 @@ def compute_fact_slots(rowptr, colind, fact_level) -> FactSlots:
     # fit on-CPU; measured 19× vs the masked-full-sweep form on 2dcyl1).
     lens = counts[counts > 0]
     sts = starts[counts > 0]
-    best_c, best_cost = 1, np.inf
-    for c in (16, 32, 64, 128, 256, 512, 1024):
-        cost = np.sum(-(-lens // c)) * (c + 16)
-        if cost < best_cost:
-            best_c, best_cost = c, cost
+    if chunk_size > 0:
+        best_c = int(chunk_size)
+    else:
+        best_c, best_cost = 1, np.inf
+        for c in (16, 32, 64, 128, 256, 512, 1024):
+            cost = np.sum(-(-lens // c)) * (c + 16)
+            if cost < best_cost:
+                best_c, best_cost = c, cost
     nch = -(-lens // best_c)
     off = _grouped_arange(nch) * best_c
     cstarts = np.repeat(sts, nch) + off

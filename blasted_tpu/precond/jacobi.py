@@ -60,7 +60,20 @@ def relax_loop(sweep_fn, b, x0, params):
     return x
 
 
-class JacobiPreconditioner(Preconditioner):
+class _DiagStateMixin:
+    """Single-trace distributed setup for operators whose state is the
+    inverted (block) diagonal (jacobi/sgs/chaotic families)."""
+
+    def shard_setup_data(self, precs):
+        return ()
+
+    def compute_state_with(self, mat, setup):
+        if mat.vals_pad.ndim > 2:      # block form
+            return _DiagState(dinv=invert_diag_blocks(mat.diag_blocks)), None
+        return _DiagState(dinv=1.0 / mat.diag_vals), None
+
+
+class JacobiPreconditioner(_DiagStateMixin, Preconditioner):
     """Scalar Jacobi (reference: solverops_jacobi.cpp:139-220)."""
 
     def __init__(self, mat: PaddedCSR):
@@ -79,7 +92,7 @@ class JacobiPreconditioner(Preconditioner):
                           b, x, self.solveparams)
 
 
-class BJacobiPreconditioner(Preconditioner):
+class BJacobiPreconditioner(_DiagStateMixin, Preconditioner):
     """Block Jacobi with batched diagonal-block inversion
     (reference: solverops_jacobi.cpp:30-121; Eigen .inverse() → batched
     jnp.linalg.inv on the MXU)."""

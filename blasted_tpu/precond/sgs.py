@@ -44,7 +44,7 @@ from ..ops.sweeps import (
 from ..sparse.bsr import PaddedBSR
 from ..sparse.csr import PaddedCSR
 from .base import Preconditioner, PrecInfo
-from .jacobi import relax_loop
+from .jacobi import _DiagStateMixin, relax_loop
 
 __all__ = ["SGSPreconditioner", "BSGSPreconditioner",
            "ChaoticRelaxation", "BlockChaoticRelaxation"]
@@ -54,7 +54,7 @@ class _DiagState(NamedTuple):
     dinv: jax.Array
 
 
-class SGSPreconditioner(Preconditioner):
+class SGSPreconditioner(_DiagStateMixin, Preconditioner):
     """Sweep-approximated symmetric Gauss-Seidel, scalar CSR
     (reference: solverops_sgs.cpp:118-203)."""
 
@@ -101,7 +101,7 @@ class SGSPreconditioner(Preconditioner):
         return relax_loop(step, b, x, self.solveparams)
 
 
-class BSGSPreconditioner(Preconditioner):
+class BSGSPreconditioner(_DiagStateMixin, Preconditioner):
     """Block SGS (reference: solverops_sgs.cpp:17-116); diagonal blocks
     pre-inverted at compute, all block products batched onto the MXU."""
 
@@ -138,7 +138,7 @@ class BSGSPreconditioner(Preconditioner):
         return relax_loop(step, b, x, self.solveparams)
 
 
-class ChaoticRelaxation(Preconditioner):
+class ChaoticRelaxation(_DiagStateMixin, Preconditioner):
     """Chazan–Miranker chaotic (forward GS) relaxation, deterministic form
     (reference: src/relaxation_chaotic.cpp:32-70).  ``apply`` runs a fixed
     ``napplysweeps`` sweeps from zero; ``apply_relax`` runs ``maxits`` sweeps."""
@@ -163,7 +163,7 @@ class ChaoticRelaxation(Preconditioner):
                           b, x, self.solveparams)
 
 
-class BlockChaoticRelaxation(Preconditioner):
+class BlockChaoticRelaxation(_DiagStateMixin, Preconditioner):
     """Block chaotic relaxation (reference: relaxation_chaotic.cpp block path)."""
 
     def __init__(self, mat: PaddedBSR, napplysweeps: int = 1):

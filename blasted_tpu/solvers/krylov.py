@@ -113,15 +113,19 @@ def bicgstab(amat: Callable, prec: Callable, b: jax.Array, x0: jax.Array,
 
     def body(s):
         rho = dot(rhat, s.r)
-        # breakdown: rhat ⟂ r to rounding, or the previous omega annihilated
-        brk = jnp.abs(rho) <= 100 * eps * nrhat * norm2(s.r)
+        # breakdown: rhat ⟂ r structurally (the contrived/true-breakdown
+        # dots compute to an exact 0; an eps-scale relative threshold false-
+        # fires on f32 rounding noise at large n — measured on the 160^3
+        # Poisson solve, where quasi-orthogonal rhat·r sits well below
+        # 100·eps_f32·‖rhat‖‖r‖ while BiCGSTAB is converging fine)
+        brk = jnp.abs(rho) <= eps * eps * nrhat * norm2(s.r) + 100 * tiny
         brk |= jnp.abs(s.rhoold * s.omega) <= 100 * tiny
         beta = rho * s.alpha / _nz(s.rhoold * s.omega)
         p = s.r + beta * s.p - beta * s.omega * s.v
         y = prec(p)
         v = amat(y)
         rv = dot(rhat, v)
-        brk |= jnp.abs(rv) <= 100 * eps * nrhat * norm2(v)
+        brk |= jnp.abs(rv) <= eps * eps * nrhat * norm2(v) + 100 * tiny
         alpha = rho / _nz(rv)
         rs = s.r - alpha * v                      # 's' of the algorithm
         z = prec(rs)
@@ -253,6 +257,9 @@ def gmres(amat: Callable, prec: Callable, b: jax.Array, x0: jax.Array,
         step: jax.Array
         resnorm: jax.Array
         done: jax.Array
+        breakdown: jax.Array
+
+    tiny = jnp.finfo(dt).tiny
 
     def arnoldi_cycle(x):
         r = b - amat(x)
@@ -272,6 +279,7 @@ def gmres(amat: Callable, prec: Callable, b: jax.Array, x0: jax.Array,
             g: jax.Array
             k: jax.Array       # columns actually built
             done: jax.Array
+            brk: jax.Array     # Arnoldi breakdown without convergence
 
         def body(j, s):
             # masked no-op once converged within the cycle
@@ -306,13 +314,20 @@ def gmres(amat: Callable, prec: Callable, b: jax.Array, x0: jax.Array,
                 H = s.H.at[:, j].set(hcol)
                 res = jnp.abs(g1[j + 1])
                 done = res / bnorm < tol
+                # Arnoldi breakdown: the new column is annihilated entirely
+                # (hnext ≈ 0 AND the rotated pivot hj ≈ 0 — structurally
+                # singular operator; the Givens "residual" g1 is then
+                # spurious).  A *happy* breakdown (hnext ≈ 0, hj ≠ 0:
+                # invariant subspace with solvable H) converges instead.
+                brk = (hnext <= 100 * tiny) & (jnp.abs(hj) <= 100 * tiny)
                 return Inner(V, H, s.cs.at[j].set(c), s.sn.at[j].set(sgn),
-                             g1, s.k + 1, done)
+                             g1, s.k + 1, done | brk, s.brk | brk)
 
             return jax.lax.cond(s.done, lambda s: s, live, s)
 
         s = jax.lax.fori_loop(
-            0, m, body, Inner(V, H, cs, sn, g, jnp.int32(0), jnp.bool_(False)))
+            0, m, body, Inner(V, H, cs, sn, g, jnp.int32(0), jnp.bool_(False),
+                              jnp.bool_(False)))
 
         # back-substitution on the k×k upper-triangular H (masked for k<m)
         k = s.k
@@ -328,21 +343,24 @@ def gmres(amat: Callable, prec: Callable, b: jax.Array, x0: jax.Array,
                               jax.lax.cond(i_rev < k, lambda yy: back(i_rev, yy),
                                            lambda yy: yy, y), y)
         dx = prec(y @ s.V[:m])
-        return x + dx, k, jnp.abs(s.g[k])
+        return x + dx, k, jnp.abs(s.g[k]), s.brk
 
     def cond(o):
         return (o.step < maxiter) & ~o.done
 
     def body(o):
-        x, k, res = arnoldi_cycle(o.x)
-        return Outer(x, o.step + k, res, res / bnorm < tol)
+        x, k, res, brk = arnoldi_cycle(o.x)
+        return Outer(x, o.step + k, res, (res / bnorm < tol) | brk,
+                     o.breakdown | brk)
 
     r0 = norm2(b - amat(x0))
     o = jax.lax.while_loop(
-        cond, body, Outer(x0, jnp.int32(0), r0, r0 / bnorm < tol))
+        cond, body, Outer(x0, jnp.int32(0), r0, r0 / bnorm < tol,
+                          jnp.bool_(False)))
     resnorm = norm2(b - amat(o.x))
     return o.x, SolveInfo(converged=resnorm / bnorm < tol * 1.01,
-                          iters=o.step, resnorm=resnorm, bnorm=bnorm)
+                          iters=o.step, resnorm=resnorm, bnorm=bnorm,
+                          breakdown=o.breakdown)
 
 
 def cg(amat: Callable, prec: Callable, b: jax.Array, x0: jax.Array,
@@ -377,8 +395,10 @@ def cg(amat: Callable, prec: Callable, b: jax.Array, x0: jax.Array,
     def body(s):
         ap = amat(s.p)
         pap = dot(s.p, ap)
-        # breakdown: p·Ap ≈ 0 (indefinite operator) or r·z annihilated
-        brk = jnp.abs(pap) <= 100 * eps * norm2(s.p) * norm2(ap)
+        # breakdown: p·Ap structurally 0 (indefinite operator) or r·z
+        # annihilated; eps²-scale so f32 rounding noise at large n does not
+        # false-fire (see bicgstab)
+        brk = jnp.abs(pap) <= eps * eps * norm2(s.p) * norm2(ap) + 100 * tiny
         brk |= jnp.abs(s.rz) <= 100 * tiny
         alpha = s.rz / _nz(pap)
         x = jnp.where(brk, s.x, s.x + alpha * s.p)

@@ -173,10 +173,10 @@ def test_one_call_solve_amg():
 
         A, b, _ = poisson3d_system((18, 18, 16), dist="uniform")  # 4096 rows
         xref = np.linalg.solve(A.to_scipy().toarray(), b)
-        x, info, ds = solve(A, b, {"blasted_pc_type": "amg",
-                                   "ksp_type": "cg", "rtol": 1e-10,
-                                   "maxiter": 500}, mesh=make_mesh(4))
-        assert isinstance(ds, DistMGSolver)
+        x, info, ctx = solve(A, b, {"blasted_pc_type": "amg",
+                                    "ksp_type": "cg", "rtol": 1e-10,
+                                    "maxiter": 500}, mesh=make_mesh(4))
+        assert isinstance(ctx.prec, DistMGSolver)
         assert bool(info.converged)
         err = np.abs(np.asarray(x) - xref).max() / np.abs(xref).max()
         assert err < 1e-6
@@ -231,15 +231,46 @@ def test_mesh_amg_nondefault_smoother():
 
     A, b, _ = poisson3d_system((18, 18, 16), dist="uniform")  # 4096 rows
     xref = np.linalg.solve(A.to_scipy().toarray(), b)
-    x, info, ds = solve(A, b, {"blasted_pc_type": "amg",
-                               "blasted_amg_sub_pc_type": "jacobi",
-                               "blasted_amg_npre": "2",
-                               "blasted_amg_npost": "2",
-                               "blasted_amg_cycle": "w",
-                               "ksp_type": "cg", "rtol": 1e-10,
-                               "maxiter": 500}, mesh=make_mesh(4))
+    x, info, ctx = solve(A, b, {"blasted_pc_type": "amg",
+                                "blasted_amg_sub_pc_type": "jacobi",
+                                "blasted_amg_npre": "2",
+                                "blasted_amg_npost": "2",
+                                "blasted_amg_cycle": "w",
+                                "ksp_type": "cg", "rtol": 1e-10,
+                                "maxiter": 500}, mesh=make_mesh(4))
     assert bool(info.converged)
+    ds = ctx.prec
     assert ds.settings.cycle == "w" and ds.settings.npre == 2
     assert ds.settings.smoother.prec_type == PrecType.JACOBI
     err = np.abs(np.asarray(x) - xref).max() / np.abs(xref).max()
     assert err < 1e-6
+
+
+def test_mesh_solve_context_observability():
+    """The mesh path returns a real SolverContext: factor/apply timers and
+    (with compute_precinfo) a reduced per-shard PrecInfo — the analogue of
+    the reference's per-rank accumulation (blasted_petsc.h:56-84;
+    VERDICT r2 #7)."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices")
+    from blasted_tpu.api import SolverContext, solve
+    from blasted_tpu.parallel import make_mesh
+    from helpers import random_csr
+
+    A = random_csr(256, density=0.04, seed=13)   # unstructured → general path
+    b = A.to_scipy() @ np.ones(256)
+    x, info, ctx = solve(
+        A, b, {"blasted_pc_type": "ilu0", "blasted_async_sweeps": "4,4",
+               "blasted_compute_preconditioner_info": "1",
+               "prefer_dia": False, "rtol": 1e-10, "maxiter": 500},
+        mesh=make_mesh(4))
+    assert bool(info.converged)
+    assert isinstance(ctx, SolverContext)
+    assert ctx.timers.factor_walltime > 0.0
+    assert ctx.timers.apply_walltime > 0.0
+    assert len(ctx.infolist) == 1
+    pi = ctx.infolist[0]
+    assert float(pi.prec_remainder_norm) > 0.0          # sweep ILU: nonzero
+    assert 0.0 < float(pi.lower_min_diag_dom) <= float(pi.lower_avg_diag_dom)

@@ -299,3 +299,84 @@ def test_dist_bsr_solve_through_api():
     assert bool(info.converged)
     err = np.abs(np.asarray(x) - xref).max() / np.abs(xref).max()
     assert err < 1e-8
+
+
+# ---------------------------------------------------------------------------
+# Ghost-index (compressed) halo exchange — VecScatter semantics
+# (reference: doc/user-doc.md:36; VERDICT r2 #5)
+# ---------------------------------------------------------------------------
+
+def test_ghost_plan_traffic_proportional_to_halo():
+    """The plan's per-device exchange volume is nshards·T where T is the
+    halo width — independent of n (the all_gather moves n per device)."""
+    import scipy.sparse as sps
+
+    from blasted_tpu import CSRMatrix
+
+    rng = np.random.default_rng(0)
+    per_device = {}
+    for n in (256, 512):
+        diags = [rng.standard_normal(n) for _ in range(7)]
+        sp = sps.spdiags(diags, [-3, -2, -1, 0, 1, 2, 3], n, n).tocsr()
+        sp = sp + sps.eye(n) * 10.0
+        dA = partition_csr(CSRMatrix.from_scipy(sp.tocsr()), 8)
+        assert dA.sendidx is not None
+        assert dA.ghost_width == 3              # == the halo width
+        per_device[n] = dA.nshards * dA.ghost_width
+        assert per_device[n] < n // 8
+    assert per_device[256] == per_device[512]   # ∝ halo, not n
+
+
+def test_dist_spmv_ghost_matches_all_gather():
+    """Ghost-exchange SpMV is bitwise-equal to the all_gather path on the
+    8-device mesh (scalar and block)."""
+    from blasted_tpu.parallel import partition_bsr
+    from blasted_tpu.parallel.dist import (
+        dist_bspmv,
+        dist_bspmv_ghost,
+        dist_spmv_ghost,
+    )
+    from helpers import random_bsr
+
+    mesh = make_mesh(8)
+    A = random_csr(256, density=0.04, seed=3)
+    dA = shard_dist_csr(mesh, partition_csr(A, 8))
+    x = shard_vector(mesh, np.random.default_rng(0).standard_normal(256))
+    y_ag = dist_spmv(mesh, dA.colind, dA.vals_pad, x)
+    assert dA.sendidx is not None
+    y_gh = dist_spmv_ghost(mesh, dA.ghost_colind, dA.vals_pad, dA.sendidx, x)
+    np.testing.assert_array_equal(np.asarray(y_ag), np.asarray(y_gh))
+
+    B = random_bsr(64, 4, density=0.1, seed=5)
+    dB = shard_dist_csr(mesh, partition_bsr(B, 8))
+    xb = shard_vector(mesh, np.random.default_rng(1).standard_normal(256))
+    yb_ag = dist_bspmv(mesh, dB.colind, dB.vals_pad, xb)
+    assert dB.sendidx is not None
+    yb_gh = dist_bspmv_ghost(mesh, dB.ghost_colind, dB.vals_pad,
+                             dB.sendidx, xb)
+    np.testing.assert_array_equal(np.asarray(yb_ag), np.asarray(yb_gh))
+
+
+def test_dist_solve_uses_ghost_path():
+    """DistributedSolver routes through the ghost exchange when the plan
+    exists and still matches the direct solution."""
+    A = random_csr(256, density=0.04, seed=7)
+    rng = np.random.default_rng(2)
+    xref = rng.standard_normal(256)
+    b = A.to_scipy() @ xref
+    mesh = make_mesh(8)
+    ds = DistributedSolver(
+        A, mesh, AsyncSolverSettings(prec_type=PrecType.ILU0,
+                                     nbuildsweeps=4, napplysweeps=4))
+    assert ds.dA.sendidx is not None
+    x, info = ds.solve(b, tol=1e-11, maxiter=500)
+    assert bool(info.converged)
+    assert np.abs(np.asarray(x) - xref).max() / np.abs(xref).max() < 1e-8
+
+
+def test_ghost_plan_none_for_dense_coupling():
+    """A densely coupled matrix yields no saving → plan is None and the
+    all_gather fallback is used."""
+    A = random_csr(64, density=0.9, seed=9)
+    dA = partition_csr(A, 8)
+    assert dA.sendidx is None

@@ -343,3 +343,30 @@ def test_inner_krylov_preconditioner():
 
     with pytest.raises(NotImplementedError):
         inner.apply_relax(bj, bj)
+
+
+def test_thread_chunk_size_knob_preserves_exact_factor():
+    """P6 (dynamic work chunking): ``thread_chunk_size`` sets the exact-ILU
+    slot chunk width (ilu_pattern.compute_fact_slots; reference:
+    -blasted_thread_chunk_size, doc/user-doc.md:27) without changing the
+    factorization — bit-identical to the auto-fitted chunking."""
+    from helpers import exact_ilu0_oracle, random_csr
+
+    A = random_csr(96, density=0.08, seed=21)
+    oracle = exact_ilu0_oracle(A)
+
+    ilus = {}
+    for chunk in (0, 8, 64):
+        p = create_preconditioner(A.pad(), AsyncSolverSettings(
+            prec_type=PrecType.ILU0, nbuildsweeps=SEQUENTIAL,
+            napplysweeps=SEQUENTIAL, thread_chunk_size=chunk))
+        if chunk:
+            assert p.thread_chunk_size == chunk
+        p.compute()
+        if chunk:
+            assert p.symbolic.maxseg == chunk
+        ilus[chunk] = np.asarray(p.state.ilu)
+    np.testing.assert_array_equal(ilus[0], ilus[8])
+    np.testing.assert_array_equal(ilus[0], ilus[64])
+    # and the schedule itself reproduces the sequential IKJ factorization
+    np.testing.assert_allclose(ilus[0], oracle, rtol=1e-12, atol=1e-13)

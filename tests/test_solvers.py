@@ -267,3 +267,32 @@ def test_bicgstab_lucky_breakdown_converges():
                        tol=1e-10, maxiter=50)
     assert bool(info.converged)
     assert np.linalg.norm(np.asarray(Ad @ x - b)) < 1e-8
+
+
+def test_gmres_breakdown_flag_on_singular_operator():
+    """Arnoldi breakdown without convergence (structurally singular
+    operator) sets SolveInfo.breakdown; the iterate stays finite."""
+    from blasted_tpu.solvers import gmres
+
+    A = jnp.asarray([[0.0, 0.0], [0.0, 1.0]])
+    b = jnp.asarray([1.0, 0.0])
+    x, info = gmres(lambda x: A @ x, lambda r: r, b, jnp.zeros(2),
+                    tol=1e-12, maxiter=50, nrestart=5)
+    assert bool(jnp.all(jnp.isfinite(x)))
+    assert bool(info.breakdown)
+    assert not bool(info.converged)
+
+
+def test_gmres_happy_breakdown_not_flagged():
+    """Exact invariant subspace WITH convergence is a happy breakdown:
+    converged=True, breakdown=False."""
+    from blasted_tpu.solvers import gmres
+
+    rng = np.random.default_rng(8)
+    Ad = jnp.asarray(rng.standard_normal((6, 6)) + 6 * np.eye(6))
+    Ainv = jnp.linalg.inv(Ad)
+    b = jnp.asarray(rng.standard_normal(6))
+    x, info = gmres(lambda x: Ad @ x, lambda r: Ainv @ r, b, jnp.zeros(6),
+                    tol=1e-10, maxiter=50, nrestart=10)
+    assert bool(info.converged)
+    assert not bool(info.breakdown)
