@@ -58,56 +58,60 @@ def _bmm(a, b):
 # "rij,rj->ri" contraction already measures at ~0.9-1.05 of stream).
 
 def _soa(stacked):
-    """(k, nb, bs, bs) → tuple of (bs, bs, nb) per diagonal."""
-    return tuple(stacked[d].transpose(1, 2, 0)
-                 for d in range(stacked.shape[0]))
+    """(k, nb, bs, bs) → tuple[k] of tuple[bs·bs] of (nb,) component streams
+    (row-major within the block).  Flat tuples keep every intermediate an
+    unmaterialised (nb,) vector — no stacks inside the sweep loop."""
+    k, _, bs, _ = stacked.shape
+    return tuple(tuple(stacked[d, :, i, j]
+                       for i in range(bs) for j in range(bs))
+                 for d in range(k))
 
 
-def _aos(soa_t):
-    """tuple of (bs, bs, nb) → (k, nb, bs, bs)."""
-    return jnp.stack([a.transpose(2, 0, 1) for a in soa_t])
+def _aos(soa_t, bs: int):
+    """tuple[k] of tuple[bs·bs] of (nb,) → (k, nb, bs, bs)."""
+    return jnp.stack([
+        jnp.stack(list(comp), axis=0).reshape(bs, bs, -1).transpose(2, 0, 1)
+        for comp in soa_t])
 
 
 def _shift_last(x, o: int):
-    """s[..., i] = x[..., i+o] along the last (row) axis, zero beyond ends."""
+    """s[i] = x[i+o] along the row axis of an (nb,) stream, zero beyond."""
     if o == 0:
         return x
-    head = x.shape[:-1]
-    nb = x.shape[-1]
+    nb = x.shape[0]
     if o > 0:
-        z = jnp.zeros(head + (o,), x.dtype)
-        return jnp.concatenate([x[..., o:], z], axis=-1)
-    z = jnp.zeros(head + (-o,), x.dtype)
-    return jnp.concatenate([z, x[..., :o]], axis=-1)
+        return jnp.concatenate([x[o:], jnp.zeros((o,), x.dtype)])
+    return jnp.concatenate([jnp.zeros((-o,), x.dtype), x[:o]])
 
 
-def _soa_bmm(a, b):
-    """(bs,bs,nb) block product: c[i,k] = Σ_j a[i,j]·b[j,k] — bs³ unrolled
-    lane-parallel FMAs (the TPU form of the reference's per-row Eigen block
-    products, kernels_ilu0_factorize.hpp:71-98)."""
-    bs = a.shape[0]
-    rows = []
+def _soa_bmm(a, b, bs: int, shift: int = 0):
+    """Block product on component tuples: c[i·bs+k] = Σ_j a[i,j]·b[j,k]
+    (b read at row offset ``shift``) — bs³ unrolled lane-parallel FMAs (the
+    TPU form of the reference's per-row Eigen block products,
+    kernels_ilu0_factorize.hpp:71-98)."""
+    bsh = [_shift_last(c, shift) for c in b] if shift else list(b)
+    out = []
     for i in range(bs):
-        row = []
         for k in range(bs):
-            acc = a[i, 0] * b[0, k]
+            acc = a[i * bs] * bsh[k]
             for j in range(1, bs):
-                acc = acc + a[i, j] * b[j, k]
-            row.append(acc)
-        rows.append(jnp.stack(row))
-    return jnp.stack(rows)
+                acc = acc + a[i * bs + j] * bsh[j * bs + k]
+            out.append(acc)
+    return out
 
 
-def _soa_gj_inverse(a):
-    """Batched pivoted Gauss-Jordan on (bs, bs, nb) streams — every step an
+def _soa_gj_inverse(a, bs: int, dmask):
+    """Batched pivoted Gauss-Jordan on component tuples — every step an
     elementwise op over (nb,) lanes (cf. ops.sweeps._gauss_jordan_inverse,
-    which is the AoS form used outside the factor hot loop)."""
-    bs = a.shape[0]
-    nb = a.shape[-1]
-    dt = a.dtype
+    the AoS form used outside the factor hot loop).  ``dmask`` (nb,) marks
+    stored diagonal blocks; masked rows invert the identity."""
+    nb = a[0].shape[0]
+    dt = a[0].dtype
     one = jnp.ones((nb,), dt)
-    M = [[a[i, j] for j in range(bs)]
-         + [one if i == j else jnp.zeros((nb,), dt) for j in range(bs)]
+    zero = jnp.zeros((nb,), dt)
+    M = [[jnp.where(dmask, a[i * bs + j], one if i == j else zero)
+          for j in range(bs)]
+         + [one if i == j else zero for j in range(bs)]
          for i in range(bs)]
     for col in range(bs):
         cand = jnp.stack([jnp.abs(M[r][col]) for r in range(col, bs)])
@@ -128,27 +132,25 @@ def _soa_gj_inverse(a):
             else:
                 f = M[r][col]
                 M[r] = [M[r][j] - f * pn[j] for j in range(2 * bs)]
-    return jnp.stack([jnp.stack(M[i][bs:]) for i in range(bs)])
+    return [M[i][bs + j] for i in range(bs) for j in range(bs)]
 
 
-def _soa_sweep(offsets, pairs, d0, mask, base_t, ilu_t):
-    """One block Chow–Patel sweep over SoA tuples; re-masks every diagonal
-    so band fill stays exactly out of the ILU(0) pattern."""
-    bs = base_t[0].shape[0]
-    eye = jnp.eye(bs, dtype=base_t[0].dtype)[:, :, None]
-    dmask = mask[d0][None, None, :]
-    dinv = _soa_gj_inverse(jnp.where(dmask, ilu_t[d0], eye))
+def _soa_sweep(offsets, pairs, d0, mask, base_t, ilu_t, bs: int):
+    """One block Chow–Patel sweep over component tuples; re-masks every
+    diagonal so band fill stays exactly out of the ILU(0) pattern."""
+    dinv = _soa_gj_inverse(ilu_t[d0], bs, mask[d0])
     out = []
     for d, o in enumerate(offsets):
         if not pairs[d] and o > 0:
             out.append(ilu_t[d])          # pair-free upper: fixed point
             continue
-        s = base_t[d]
+        s = list(base_t[d])
         for (dl, du, o1) in pairs[d]:
-            s = s - _soa_bmm(ilu_t[dl], _shift_last(ilu_t[du], o1))
+            prod = _soa_bmm(ilu_t[dl], ilu_t[du], bs, shift=o1)
+            s = [si - pi for si, pi in zip(s, prod)]
         if o < 0:
-            s = _soa_bmm(s, _shift_last(dinv, o))
-        out.append(jnp.where(mask[d][None, None, :], s, 0.0))
+            s = _soa_bmm(s, dinv, bs, shift=o)
+        out.append(tuple(jnp.where(mask[d], c, 0.0) for c in s))
     return tuple(out)
 
 
@@ -161,23 +163,26 @@ def bdia_factor_sweeps_soa(offsets, pairs, d0, mask, base, ilu0,
     happens once around the whole sweep loop.  With ``level`` given (exact
     path), each of ``nlev × fact_inner`` steps commits only the rows of the
     active wavefront, reproducing the sequential factorization."""
+    bs = base.shape[-1]
     base_t = _soa(jnp.where(mask[:, :, None, None], base, 0.0))
     ilu_t = _soa(ilu0)
 
     if level is None:
         def body(i, t):
-            return _soa_sweep(offsets, pairs, d0, mask, base_t, t)
+            return _soa_sweep(offsets, pairs, d0, mask, base_t, t, bs)
 
         ilu_t = jax.lax.fori_loop(0, nsweeps, body, ilu_t)
     else:
         def body(it, t):
             l = it // fact_inner
-            tn = _soa_sweep(offsets, pairs, d0, mask, base_t, t)
-            sel = (level == l)[None, None, :]
-            return tuple(jnp.where(sel, a, b) for a, b in zip(tn, t))
+            tn = _soa_sweep(offsets, pairs, d0, mask, base_t, t, bs)
+            sel = level == l
+            return tuple(tuple(jnp.where(sel, a, b)
+                               for a, b in zip(tna, tb))
+                         for tna, tb in zip(tn, t))
 
         ilu_t = jax.lax.fori_loop(0, nlev * fact_inner, body, ilu_t)
-    return _aos(ilu_t)
+    return _aos(ilu_t, bs)
 
 
 def bdia_factor_sweep(offsets, pairs, d0, mask, base, ilu):

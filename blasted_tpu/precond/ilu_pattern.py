@@ -180,8 +180,14 @@ def compute_fact_slots(rowptr, colind, fact_level,
     # into fixed-size chunks processed as separate scan steps: padding waste
     # drops from nslots×max(len) to ≤ nchunks×C.  C balances padding against
     # per-step dispatch overhead — pick the power of two minimizing
-    # Σ ceil(len/C)·(C + F) with a small fixed-cost term (F≈16 elements,
-    # fit on-CPU; measured 19× vs the masked-full-sweep form on 2dcyl1).
+    # Σ ceil(len/C)·(C + F) with a small fixed-cost term (F≈16 elements).
+    # Measured on the real TPU (v5e, f32): the slot scan factorizes
+    # msc00726 in 95 ms (= 4.2 single gather-sweeps; the masked-full-sweep
+    # exact form needs nfact×fact_inner = 5264 sweeps ≈ 119 s → ~1250×) and
+    # RCM'd 2dcyl1 in 29 ms (≈ 3.0 sweeps; 296× vs masked).  The scan is
+    # latency-bound per chunk, but the dominant traffic is the width-P pair
+    # gathers — which any schedule shape pays — so slot-contiguous value
+    # reordering would only shave the idx gather/scatter, not the pairs.
     lens = counts[counts > 0]
     sts = starts[counts > 0]
     if chunk_size > 0:
