@@ -306,7 +306,7 @@ def solve(A, b, options=None, mesh=None, x0=None):
         ctx.prec = ds
         ctx.first_setup_done = True
         if options.compute_precinfo:
-            pi = getattr(getattr(ds, "prec", None), "precinfo", lambda: None)()
+            pi = getattr(ds, "precinfo", lambda: None)()
             if pi is not None:
                 ctx.infolist.append(pi)
         t0 = time.perf_counter()

@@ -362,6 +362,9 @@ class DistributedSolver:
     def prec_apply(self, r: jax.Array) -> jax.Array:
         return r if self.prec is None else self.prec.apply(r)
 
+    def precinfo(self):
+        return None if self.prec is None else self.prec.precinfo()
+
     def solve(self, b, x0=None, method: str = "bicgstab", tol: float = 1e-8,
               maxiter: int = 500, **kw):
         from ..solvers import bicgstab, cg, gcr, richardson

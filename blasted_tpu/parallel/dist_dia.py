@@ -127,10 +127,11 @@ class DistDiaSolver:
         nl = self.nl
 
         ax = self._ax
+        nglobal = nl * int(self.mesh.devices.size)
 
         @partial(shard_map, mesh=mesh,
                  in_specs=(P(None, ax), P(None, ax)),
-                 out_specs=(P(None, ax), P(ax)))
+                 out_specs=(P(None, ax), P(ax), P()))
         def setup(dl, ml):
             # local-block mask: entries crossing the shard boundary drop out
             r = jnp.arange(nl)
@@ -138,8 +139,9 @@ class DistDiaSolver:
                 [((r + o) >= 0) & ((r + o) < nl) for o in offsets])
             mask_l = ml & local_ok
             base = jnp.where(mask_l, dl, 0.0)
+            info6 = jnp.zeros(6, base.dtype)
             if t in (PrecType.JACOBI, PrecType.GS, PrecType.SGS):
-                return base, 1.0 / base[d0]
+                return base, 1.0 / base[d0], info6
             # fixed-point ILU(0) sweeps on the local band
             if s.fact_init == FactInit.SGS:
                 den = jnp.where(base[d0] == 0, 1.0, base[d0])
@@ -158,9 +160,49 @@ class DistDiaSolver:
                                               base, v),
                 ilu0)
             udiag = ilu[d0]
-            return ilu, 1.0 / jnp.where(udiag == 0, 1.0, udiag)
+            if s.compute_precinfo:
+                # per-shard ILU remainder + L/U diag dominance of the local
+                # factors, reduced across shards — the per-rank PrecInfo of
+                # the reference (blasted_petsc.h:56-84); remainders sum,
+                # averages average (equal shards), minima take pmin
+                rem = jnp.zeros((), base.dtype)
+                for d, o in enumerate(offsets):
+                    sv = base[d]
+                    for (dl_, du_, o1) in pairs[d]:
+                        sv = sv - ilu[dl_] * shift_read(ilu[du_], o1)
+                    sv = sv - (ilu[d] * shift_read(udiag, o) if o < 0
+                               else ilu[d])
+                    rem = rem + jnp.sum(jnp.abs(jnp.where(mask_l[d], sv, 0.0)))
+                low = [d for d, o in enumerate(offsets) if o < 0]
+                up = [d for d, o in enumerate(offsets) if o > 0]
+                lsum = sum((jnp.abs(ilu[d]) for d in low),
+                           jnp.zeros(nl, base.dtype))
+                usum = sum((jnp.abs(ilu[d]) for d in up),
+                           jnp.zeros(nl, base.dtype))
+                ldd = 1.0 - lsum
+                udd = 1.0 - usum / jnp.where(udiag == 0, 1.0, jnp.abs(udiag))
+                info6 = jnp.stack([
+                    jax.lax.psum(rem, ax),
+                    jax.lax.psum(jnp.sum(ldd), ax) / nglobal,
+                    jax.lax.pmin(jnp.min(ldd), ax),
+                    jax.lax.psum(jnp.sum(udd), ax) / nglobal,
+                    jax.lax.pmin(jnp.min(udd), ax),
+                    jnp.zeros((), base.dtype)])
+            return ilu, 1.0 / jnp.where(udiag == 0, 1.0, udiag), info6
 
-        self._prec_state = setup(self.data, self.mask)
+        vals, dinv, info6 = setup(self.data, self.mask)
+        self._prec_state = (vals, dinv)
+        self._info6 = info6 if s.compute_precinfo else None
+
+    def precinfo(self):
+        """Reduced per-shard PrecInfo (None unless compute_precinfo)."""
+        if getattr(self, "_info6", None) is None:
+            return None
+        from ..precond.base import PrecInfo
+        i = self._info6
+        return PrecInfo(prec_remainder_norm=i[0],
+                        lower_avg_diag_dom=i[1], lower_min_diag_dom=i[2],
+                        upper_avg_diag_dom=i[3], upper_min_diag_dom=i[4])
 
     # -- operators -----------------------------------------------------------
 
@@ -281,11 +323,12 @@ class DistBlockDiaSolver:
         nl, bs = self.nl, self.bs
 
         ax = self._ax
+        ngrows = nl * bs * int(self.mesh.devices.size)
 
         @partial(shard_map, mesh=self.mesh,
                  in_specs=(P(None, ax, None, None), P(None, ax)),
                  out_specs=(P(None, ax, None, None),
-                            P(ax, None, None)))
+                            P(ax, None, None), P()))
         def setup(dl, ml):
             r = jnp.arange(nl)
             local_ok = jnp.stack(
@@ -293,17 +336,64 @@ class DistBlockDiaSolver:
             mask_l = ml & local_ok
             base = jnp.where(mask_l[:, :, None, None], dl, 0.0)
             eye = jnp.eye(bs, dtype=base.dtype)
+            info6 = jnp.zeros(6, base.dtype)
             if t in (PrecType.JACOBI, PrecType.GS, PrecType.SGS):
                 dinv = invert_diag_blocks(
                     jnp.where(mask_l[d0][:, None, None], base[d0], eye))
-                return base, dinv
+                return base, dinv, info6
             ilu = bdia_factor_sweeps_soa(offsets, pairs, d0, mask_l,
                                          base, base, nsweeps)
             dinv = invert_diag_blocks(
                 jnp.where(mask_l[d0][:, None, None], ilu[d0], eye))
-            return ilu, dinv
+            if s.compute_precinfo:
+                # block remainder + block diag dominance, reduced across
+                # shards (cf. the scalar DistDiaSolver and
+                # diagnostics.bdia_block_diagonal_dominance)
+                def bmm(a, b):
+                    return jnp.einsum("nij,njk->nik", a, b,
+                                      preferred_element_type=a.dtype)
+                udiag = ilu[d0]
+                rem = jnp.zeros((), base.dtype)
+                for d, o in enumerate(offsets):
+                    sv = base[d]
+                    for (dl_, du_, o1) in pairs[d]:
+                        sv = sv - bmm(ilu[dl_], shift_read(ilu[du_], o1))
+                    sv = sv - (bmm(ilu[d], shift_read(udiag, o)) if o < 0
+                               else ilu[d])
+                    rem = rem + jnp.sum(jnp.abs(
+                        jnp.where(mask_l[d][:, None, None], sv, 0.0)))
+                low = [d for d, o in enumerate(offsets) if o < 0]
+                up = [d for d, o in enumerate(offsets) if o > 0]
+                zero = jnp.zeros((nl, bs), base.dtype)
+                lsum = sum((jnp.abs(ilu[d]).sum(axis=2) for d in low), zero)
+                usum = sum((jnp.abs(ilu[d]).sum(axis=2) for d in up), zero)
+                eyeb = jnp.eye(bs, dtype=bool)
+                usum = usum + jnp.where(eyeb, 0.0, jnp.abs(udiag)).sum(axis=2)
+                ddiag = jnp.abs(jnp.diagonal(udiag, axis1=1, axis2=2))
+                ldd = 1.0 - lsum
+                udd = 1.0 - usum / jnp.where(ddiag == 0, 1.0, ddiag)
+                info6 = jnp.stack([
+                    jax.lax.psum(rem, ax),
+                    jax.lax.psum(jnp.sum(ldd), ax) / ngrows,
+                    jax.lax.pmin(jnp.min(ldd), ax),
+                    jax.lax.psum(jnp.sum(udd), ax) / ngrows,
+                    jax.lax.pmin(jnp.min(udd), ax),
+                    jnp.zeros((), base.dtype)])
+            return ilu, dinv, info6
 
-        self._prec_state = setup(self.data, self.mask)
+        vals, dinv, info6 = setup(self.data, self.mask)
+        self._prec_state = (vals, dinv)
+        self._info6 = info6 if s.compute_precinfo else None
+
+    def precinfo(self):
+        """Reduced per-shard PrecInfo (None unless compute_precinfo)."""
+        if getattr(self, "_info6", None) is None:
+            return None
+        from ..precond.base import PrecInfo
+        i = self._info6
+        return PrecInfo(prec_remainder_norm=i[0],
+                        lower_avg_diag_dom=i[1], lower_min_diag_dom=i[2],
+                        upper_avg_diag_dom=i[3], upper_min_diag_dom=i[4])
 
     def amat(self, x: jax.Array) -> jax.Array:
         """x is the row-sharded (nbrows, bs) global block vector."""

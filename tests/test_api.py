@@ -274,3 +274,56 @@ def test_mesh_solve_context_observability():
     pi = ctx.infolist[0]
     assert float(pi.prec_remainder_norm) > 0.0          # sweep ILU: nonzero
     assert 0.0 < float(pi.lower_min_diag_dom) <= float(pi.lower_avg_diag_dom)
+
+
+def test_mesh_dia_path_precinfo():
+    """The banded (DIA/ppermute) mesh path also reports PrecInfo, reduced
+    across shards inside shard_map (psum/pmin) — scalar and block."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices")
+    from blasted_tpu.api import solve
+    from blasted_tpu.parallel import make_mesh
+    from blasted_tpu.parallel.dist_dia import DistBlockDiaSolver, DistDiaSolver
+
+    A, b, _ = poisson3d_system((10, 10, 10), dist="uniform")   # 512 rows
+    x, info, ctx = solve(
+        A, b, {"blasted_pc_type": "ilu0", "blasted_async_sweeps": "4,4",
+               "blasted_compute_preconditioner_info": "1",
+               "rtol": 1e-9, "maxiter": 500}, mesh=make_mesh(4))
+    assert bool(info.converged)
+    assert isinstance(ctx.prec, DistDiaSolver)
+    assert len(ctx.infolist) == 1
+    pi = ctx.infolist[0]
+    assert float(pi.prec_remainder_norm) > 0.0
+    assert float(pi.lower_min_diag_dom) <= float(pi.lower_avg_diag_dom)
+
+    # block path (banded bs=2 matrix)
+    from helpers import random_bsr
+    import scipy.sparse as sps
+
+    from blasted_tpu import BSRMatrix
+
+    rng = np.random.default_rng(3)
+    nb, bs = 64, 2
+    rows, cols, blocks = [], [], []
+    for o in (-8, -1, 0, 1, 8):
+        for i in range(max(0, -o), min(nb, nb - o)):
+            rows.append(i); cols.append(i + o)
+            blocks.append(rng.standard_normal((bs, bs)) * 0.2
+                          + (np.eye(bs) * 4 if o == 0 else 0))
+    order = np.lexsort((cols, rows))
+    rowptr = np.searchsorted(np.asarray(rows)[order], np.arange(nb + 1))
+    B = BSRMatrix.from_arrays(rowptr.astype(np.int32),
+                              np.asarray(cols)[order].astype(np.int32),
+                              np.stack([blocks[i] for i in order]), bs)
+    bb = B.to_scipy() @ np.ones(B.nrows)
+    x, info, ctx = solve(
+        B, bb, {"blasted_pc_type": "ilu0", "blasted_async_sweeps": "4,4",
+                "blasted_compute_preconditioner_info": "1",
+                "rtol": 1e-9, "maxiter": 500}, mesh=make_mesh(4))
+    assert bool(info.converged)
+    assert isinstance(ctx.prec, DistBlockDiaSolver)
+    assert len(ctx.infolist) == 1
+    assert float(ctx.infolist[0].prec_remainder_norm) > 0.0
