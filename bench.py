@@ -173,7 +173,7 @@ def bench_scalar():
     pairs = dia_pairs(offsets)
     d0 = offsets.index(0)
 
-    mask_np = np.asarray(D.mask)
+    mask_np = [np.asarray(m) for m in D.mask]
     mask_none = [bool(mask_np[d].all()) or offsets[d] < 0 for d in range(k)]
 
     def mk_fact(iters):
@@ -208,7 +208,7 @@ def bench_scalar():
             0, 8, lambda i, v: dia_factor_sweep_tuple(offsets, pairs, d0,
                                                       mask_t, base_t, v),
             tuple(ilu[d] for d in range(k)))
-        return jnp.stack(out)
+        return out                     # tuple layout — the production form
 
     ilu = factor8(D.mask, D.data, D.data)
     dinv = 1.0 / jnp.where(ilu[d0] == 0, 1.0, ilu[d0])

@@ -46,9 +46,9 @@ def _ring_halo(xl, H, axis):
     return left, right
 
 
-def dist_dia_spmv(mesh: Mesh, offsets, data: jax.Array, x: jax.Array,
+def dist_dia_spmv(mesh: Mesh, offsets, data, x: jax.Array,
                   halo: int) -> jax.Array:
-    """y = A x with row-sharded DIA data (k, n) and x (n,).
+    """y = A x with row-sharded DIA data (tuple of k (n,) streams) and x (n,).
 
     Communication/compute overlap (SURVEY.md §7 hard part 4): the halo
     ``ppermute`` is issued first, then the *interior* contribution — local
@@ -59,7 +59,7 @@ def dist_dia_spmv(mesh: Mesh, offsets, data: jax.Array, x: jax.Array,
     ax = row_axes(mesh)
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(None, ax), P(ax)), out_specs=P(ax))
+             in_specs=(P(ax), P(ax)), out_specs=P(ax))
     def f(dl, xl):
         nl = xl.shape[0]
         left, right = _ring_halo(xl, halo, ax)
@@ -104,9 +104,9 @@ class DistDiaSolver:
             prec_type=PrecType.JACOBI)
 
         self._ax = row_axes(mesh)
-        sh2 = NamedSharding(mesh, P(None, self._ax))
-        self.data = jax.device_put(A.data, sh2)
-        self.mask = jax.device_put(A.mask, sh2)
+        sh1 = NamedSharding(mesh, P(self._ax))
+        self.data = jax.device_put(A.data, sh1)   # tuple of (n,) streams
+        self.mask = jax.device_put(A.mask, sh1)
         self._prec_state = None
         self._compute()
 
@@ -130,28 +130,28 @@ class DistDiaSolver:
         nglobal = nl * int(self.mesh.devices.size)
 
         @partial(shard_map, mesh=mesh,
-                 in_specs=(P(None, ax), P(None, ax)),
-                 out_specs=(P(None, ax), P(ax), P()))
+                 in_specs=(P(ax), P(ax)),
+                 out_specs=(P(ax), P(ax), P()))
         def setup(dl, ml):
             # local-block mask: entries crossing the shard boundary drop out
             r = jnp.arange(nl)
-            local_ok = jnp.stack(
-                [((r + o) >= 0) & ((r + o) < nl) for o in offsets])
-            mask_l = ml & local_ok
-            base = jnp.where(mask_l, dl, 0.0)
-            info6 = jnp.zeros(6, base.dtype)
+            mask_l = tuple(
+                ml[d] & ((r + o) >= 0) & ((r + o) < nl)
+                for d, o in enumerate(offsets))
+            base = tuple(jnp.where(m, v, 0.0) for m, v in zip(mask_l, dl))
+            info6 = jnp.zeros(6, base[0].dtype)
             if t in (PrecType.JACOBI, PrecType.GS, PrecType.SGS):
                 return base, 1.0 / base[d0], info6
             # fixed-point ILU(0) sweeps on the local band
             if s.fact_init == FactInit.SGS:
                 den = jnp.where(base[d0] == 0, 1.0, base[d0])
-                ilu0 = jnp.stack([
+                ilu0 = tuple(
                     jnp.where(mask_l[d],
                               base[d] / jnp.where(
                                   shift_read(den, o) == 0, 1.0,
                                   shift_read(den, o)), 0.0)
                     if o < 0 else base[d]
-                    for d, o in enumerate(offsets)])
+                    for d, o in enumerate(offsets))
             else:
                 ilu0 = base
             ilu = jax.lax.fori_loop(
@@ -165,7 +165,7 @@ class DistDiaSolver:
                 # factors, reduced across shards — the per-rank PrecInfo of
                 # the reference (blasted_petsc.h:56-84); remainders sum,
                 # averages average (equal shards), minima take pmin
-                rem = jnp.zeros((), base.dtype)
+                rem = jnp.zeros((), base[0].dtype)
                 for d, o in enumerate(offsets):
                     sv = base[d]
                     for (dl_, du_, o1) in pairs[d]:
@@ -176,9 +176,9 @@ class DistDiaSolver:
                 low = [d for d, o in enumerate(offsets) if o < 0]
                 up = [d for d, o in enumerate(offsets) if o > 0]
                 lsum = sum((jnp.abs(ilu[d]) for d in low),
-                           jnp.zeros(nl, base.dtype))
+                           jnp.zeros(nl, base[0].dtype))
                 usum = sum((jnp.abs(ilu[d]) for d in up),
-                           jnp.zeros(nl, base.dtype))
+                           jnp.zeros(nl, base[0].dtype))
                 ldd = 1.0 - lsum
                 udd = 1.0 - usum / jnp.where(udiag == 0, 1.0, jnp.abs(udiag))
                 info6 = jnp.stack([
@@ -187,7 +187,7 @@ class DistDiaSolver:
                     jax.lax.pmin(jnp.min(ldd), ax),
                     jax.lax.psum(jnp.sum(udd), ax) / nglobal,
                     jax.lax.pmin(jnp.min(udd), ax),
-                    jnp.zeros((), base.dtype)])
+                    jnp.zeros((), base[0].dtype)])
             return ilu, 1.0 / jnp.where(udiag == 0, 1.0, udiag), info6
 
         vals, dinv, info6 = setup(self.data, self.mask)
@@ -223,7 +223,7 @@ class DistDiaSolver:
         ax = self._ax
 
         @partial(shard_map, mesh=self.mesh,
-                 in_specs=(P(None, ax), P(ax), P(ax)),
+                 in_specs=(P(ax), P(ax), P(ax)),
                  out_specs=P(ax))
         def apply_local(vl, di, rl):
             # no communication: shifts read zero beyond the shard (bjacobi)

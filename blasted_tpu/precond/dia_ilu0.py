@@ -56,7 +56,9 @@ def dia_pairs(offsets):
 
 def dia_factor_sweep(offsets, pairs, d0, mask, base, ilu):
     """One Chow–Patel fixed-point sweep on DIA storage (pure function;
-    shared by the local and the shard-mapped distributed paths)."""
+    shared by the local and the shard-mapped distributed paths).  All
+    diagonal-indexed operands (``mask``, ``base``, ``ilu``) are tuples of
+    (n,) streams; returns the same."""
     udiag = ilu[d0]
     rows = []
     for d, o in enumerate(offsets):
@@ -67,7 +69,7 @@ def dia_factor_sweep(offsets, pairs, d0, mask, base, ilu):
             den = shift_read(udiag, o)
             s = s / jnp.where(den == 0, 1.0, den)
         rows.append(jnp.where(mask[d], s, 0.0))
-    return jnp.stack(rows)
+    return tuple(rows)
 
 
 def dia_factor_sweep_tuple(offsets, pairs, d0, mask_t, base_t, ilu_t):
@@ -100,7 +102,7 @@ def dia_factor_sweep_tuple(offsets, pairs, d0, mask_t, base_t, ilu_t):
 
 
 class _DiaILUState(NamedTuple):
-    ilu: jax.Array       # (k, n) factor values in DIA layout
+    ilu: tuple           # k × (n,) factor values in DIA tuple layout
     ilu_dinv: jax.Array  # (n,) 1/u_ii (guarded)
     scale: jax.Array | None
     low_level: jax.Array
@@ -148,10 +150,8 @@ class DiaILU0Preconditioner(Preconditioner):
         A = self.mat
         if scale is None:
             return A.data
-        rows = []
-        for d, o in enumerate(A.offsets):
-            rows.append(A.data[d] * scale * shift_read(scale, o))
-        return jnp.stack(rows)
+        return tuple(A.data[d] * scale * shift_read(scale, o)
+                     for d, o in enumerate(A.offsets))
 
     def _fact_initial(self, base):
         A = self.mat
@@ -166,7 +166,7 @@ class DiaILU0Preconditioner(Preconditioner):
                                           0.0))
                 else:
                     rows.append(base[d])
-            return jnp.stack(rows)
+            return tuple(rows)
         return base
 
     def _factor_sweep_fn(self, base):
@@ -197,12 +197,11 @@ class DiaILU0Preconditioner(Preconditioner):
         # tuple-of-diagonals carry: pair-free upper diagonals pass through
         # with zero traffic (see dia_factor_sweep_tuple)
         offsets, pairs, d0 = A.offsets, self._pairs, self._d0
-        base_t = tuple(base[d] for d in range(len(offsets)))
-        mask_np = np.asarray(A.mask)
+        base_t = base
         mask_t = tuple(
-            None if (o < 0 or bool(mask_np[d].all())) else A.mask[d]
+            None if (o < 0 or bool(np.asarray(A.mask[d]).all())) else A.mask[d]
             for d, o in enumerate(offsets))
-        ilu_t = tuple(ilu[d] for d in range(len(offsets)))
+        ilu_t = ilu
 
         def sweep_t(v):
             return dia_factor_sweep_tuple(offsets, pairs, d0, mask_t,
@@ -221,11 +220,11 @@ class DiaILU0Preconditioner(Preconditioner):
             ilu_t = jax.lax.fori_loop(0, nlow * fact_inner, body, ilu_t)
         else:
             ilu_t = run_sweeps(self.nbuildsweeps, sweep_t, ilu_t)
-        ilu = jnp.stack(ilu_t)
+        ilu = ilu_t
 
         udiag = ilu[self._d0]
         ilu_store = ilu if self.apply_dtype is None \
-            else ilu.astype(self.apply_dtype)
+            else tuple(v.astype(self.apply_dtype) for v in ilu)
         self.state = _DiaILUState(
             ilu=ilu_store,
             ilu_dinv=1.0 / udiag,
@@ -251,7 +250,7 @@ class DiaILU0Preconditioner(Preconditioner):
         async_ilu_factor.cpp:179-217), per diagonal with shifted reads."""
         A = self.mat
         udiag = ilu[self._d0]
-        total = jnp.zeros((), base.dtype)
+        total = jnp.zeros((), base[0].dtype)
         for d, o in enumerate(A.offsets):
             s = base[d]
             for (dl, du, o1) in self._pairs[d]:

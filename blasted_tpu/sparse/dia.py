@@ -10,9 +10,20 @@ becomes pure shifted elementwise arithmetic in DIA form: zero gathers, zero
 scatters, VPU speed-of-light.
 
 Layout: ``offsets`` (k,) static Python tuple of column offsets (sorted);
-``data`` (k, n) with ``data[d, i] = A[i, i+offsets[d]]`` (row-index-aligned);
-``mask`` (k, n) marks *structural* nonzeros so that band-fill positions do not
-join the ILU(0)/GS pattern (pattern parity with the CSR form is exact).
+``data`` a **tuple of k separate (n,) arrays** with
+``data[d][i] = A[i, i+offsets[d]]`` (row-index-aligned); ``mask`` a matching
+tuple of (n,) bools marking *structural* nonzeros so that band-fill positions
+do not join the ILU(0)/GS pattern (pattern parity with the CSR form is exact).
+
+Why a tuple and not a stacked ``(k, n)`` array: TPU tiles the last two axes
+of an array as (8 sublanes, 128 lanes), so a ``(7, n)`` array pads k→8
+sublanes and every per-diagonal read ``data[d]`` is a one-sublane-in-eight
+strided access whose index mapping disagrees with the (n,) vector operand —
+measured on the real v5e this costs ~10×: the 7-diagonal SpMV at n=4.1M runs
+1.42 ms in (k, n) layout vs **0.144 ms** as a tuple of (n,) streams, and at
+n=16.7M (603 MB, HBM-bound) the tuple layout sustains 668 GB/s = 0.82 of
+spec HBM.  Each (n,) diagonal owns its own cleanly-tiled buffer, so the
+shifted FMAs are contiguous full-bandwidth streams.
 
 The ILU(0) fixed-point update becomes per-diagonal:
     pairs(o) = {(o1, o2): o1<0, o2=o−o1>0, both stored}    — see precond/ilu0
@@ -29,7 +40,8 @@ import numpy as np
 
 from .csr import CSRMatrix
 
-__all__ = ["DiaMatrix", "dia_from_csr", "try_dia_from_csr", "shift_read"]
+__all__ = ["DiaMatrix", "dia_from_csr", "try_dia_from_csr", "shift_read",
+           "as_dia_tuple"]
 
 
 @jax.tree_util.register_dataclass
@@ -37,21 +49,21 @@ __all__ = ["DiaMatrix", "dia_from_csr", "try_dia_from_csr", "shift_read"]
 class DiaMatrix:
     """Diagonal-format sparse matrix with a structural mask."""
 
-    data: jax.Array                # (k, n) float, 0 outside the band/pattern
-    mask: jax.Array                # (k, n) bool, structural nonzeros
+    data: tuple                    # k × (n,) float, 0 outside the band/pattern
+    mask: tuple                    # k × (n,) bool, structural nonzeros
     offsets: tuple = field(metadata=dict(static=True))  # (k,) python ints
 
     @property
     def nrows(self) -> int:
-        return self.data.shape[1]
+        return self.data[0].shape[0]
 
     @property
     def ndiags(self) -> int:
-        return self.data.shape[0]
+        return len(self.data)
 
     @property
     def dtype(self):
-        return self.data.dtype
+        return self.data[0].dtype
 
     @property
     def diag_vals(self) -> jax.Array:
@@ -59,21 +71,24 @@ class DiaMatrix:
         return self.data[d]
 
     @property
-    def vals_pad(self) -> jax.Array:
-        """Kernel value operand (diagonal-major (k, n) here; the padded-CSR
-        counterpart is row-major (n, W)).  Lets format-dispatched kernels and
-        the preconditioner classes treat both layouts uniformly."""
+    def vals_pad(self) -> tuple:
+        """Kernel value operand (per-diagonal (n,) streams here; the
+        padded-CSR counterpart is row-major (n, W)).  Lets format-dispatched
+        kernels and the preconditioner classes treat both layouts uniformly."""
         return self.data
 
     @property
     def nnz(self) -> int:
-        return int(np.asarray(self.mask).sum())
+        return sum(int(np.asarray(m).sum()) for m in self.mask)
 
-    def with_new_data(self, data: jax.Array) -> "DiaMatrix":
-        """Same band structure, new ``(k, n)`` values (masked to the
-        structural pattern) — the value-update path (reference:
-        blasted_petsc.cpp:314-327 recompute-in-place pattern)."""
-        data = jnp.where(self.mask, jnp.asarray(data), 0.0)
+    def with_new_data(self, data) -> "DiaMatrix":
+        """Same band structure, new values (masked to the structural
+        pattern) — the value-update path (reference: blasted_petsc.cpp:314-327
+        recompute-in-place pattern).  Accepts a tuple of (n,) diagonals or a
+        stacked (k, n) array."""
+        data = as_dia_tuple(data, self.ndiags)
+        data = tuple(jnp.where(m, jnp.asarray(v), 0.0)
+                     for m, v in zip(self.mask, data))
         return DiaMatrix(data=data, mask=self.mask, offsets=self.offsets)
 
     def to_scipy(self):
@@ -81,16 +96,24 @@ class DiaMatrix:
 
         n = self.nrows
         rows, cols, vals = [], [], []
-        data = np.asarray(self.data)
-        mask = np.asarray(self.mask)
         for d, o in enumerate(self.offsets):
-            i = np.nonzero(mask[d])[0]
+            mask = np.asarray(self.mask[d])
+            data = np.asarray(self.data[d])
+            i = np.nonzero(mask)[0]
             rows.append(i)
             cols.append(i + o)
-            vals.append(data[d, i])
+            vals.append(data[i])
         return sps.coo_matrix(
             (np.concatenate(vals),
              (np.concatenate(rows), np.concatenate(cols))), shape=(n, n)).tocsr()
+
+
+def as_dia_tuple(data, k: int) -> tuple:
+    """Normalise a diagonal-value operand to the tuple-of-(n,)-streams form
+    (accepts a stacked (k, n) array for API compatibility)."""
+    if isinstance(data, (tuple, list)):
+        return tuple(data)
+    return tuple(data[d] for d in range(k))
 
 
 def dia_from_csr(A: CSRMatrix) -> DiaMatrix:
@@ -108,7 +131,8 @@ def dia_from_csr(A: CSRMatrix) -> DiaMatrix:
     dsel = np.array([dmap[int(o)] for o in offs])
     data[dsel, rows] = vals
     mask[dsel, rows] = True
-    return DiaMatrix(data=jnp.asarray(data), mask=jnp.asarray(mask),
+    return DiaMatrix(data=tuple(jnp.asarray(data[d]) for d in range(k)),
+                     mask=tuple(jnp.asarray(mask[d]) for d in range(k)),
                      offsets=tuple(int(o) for o in uniq))
 
 
