@@ -95,14 +95,16 @@ def _record(name, t, bytes_model, stream_bw, nnz=None):
 # =============================================================== scalar =====
 
 def bench_scalar():
-    """3-D Poisson 7-point, scalar DIA: stream roofline, SpMV, ILU0 factor
-    sweep (pruned tuple form), ILU0 apply sweep-pair.  Returns the kernel
-    fractions plus (D, b, stream_bw) reused by the solve section."""
+    """Scalar DIA kernels on a device-generated 7-point band: stream
+    roofline, SpMV, ILU0 factor sweep (pruned tuple form), ILU0 apply
+    sweep-pair.  Default g=256 → n=16.7M rows, ~600 MB working set — well
+    past VMEM so every number is genuinely HBM-bound (at the old 160³ size
+    the tuple-layout kernels sit partially VMEM-resident and report >1×
+    spec HBM; see RESULTS.md).  Data is generated on device — nothing large
+    crosses the tunnel."""
     import jax
     import jax.numpy as jnp
 
-    from blasted_tpu.apps import poisson3d_system
-    from blasted_tpu.factory import to_device_matrix
     from blasted_tpu.ops.spmv import spmv
     from blasted_tpu.ops.sweeps import unit_lower_sweep, upper_solve_sweep
     from blasted_tpu.precond.dia_ilu0 import (
@@ -111,24 +113,41 @@ def bench_scalar():
     )
     from blasted_tpu.sparse.dia import DiaMatrix
 
-    # interior (npts-2)^3 rows; default 160^3 = 4.1M (working set > VMEM)
-    npts = int(os.environ.get("BENCH_NPTS", "162"))
-    A, b, _ = poisson3d_system((npts, npts, npts), dist="uniform")
-    D = to_device_matrix(A)
-    assert isinstance(D, DiaMatrix)
-    n, k = D.nrows, D.ndiags
-    nnz = A.nnz
-    isz = D.dtype.itemsize
-    offsets = D.offsets
-    print(f"[scalar] n={n} nnz={nnz} diags={k} dtype={D.dtype} "
+    g = int(os.environ.get("BENCH_SCALAR_G", "256"))
+    n = g ** 3
+    offsets = (-g * g, -g, -1, 0, 1, g, g * g)
+    k = len(offsets)
+    isz = 4
+
+    idx = np.arange(n)
+    i0, j0, k0 = idx % g, (idx // g) % g, idx // (g * g)
+    mask_np = np.stack([k0 > 0, j0 > 0, i0 > 0, np.ones(n, bool),
+                        i0 < g - 1, j0 < g - 1, k0 < g - 1])
+    mask = tuple(jnp.asarray(mask_np[d]) for d in range(k))
+    nnz = int(mask_np.sum())
+
+    @jax.jit
+    def gen(key, m):
+        out = []
+        for d in range(k):
+            v = 0.25 * jax.random.normal(jax.random.fold_in(key, d), (n,),
+                                         dtype=jnp.float32)
+            if offsets[d] == 0:
+                v = v + 2.0 * k           # diagonally dominant
+            out.append(jnp.where(m[d], v, 0.0))
+        return tuple(out)
+
+    data = gen(jax.random.PRNGKey(0), mask)
+    D = DiaMatrix(data=data, mask=mask, offsets=offsets)
+    print(f"[scalar] n={n} (g={g}) nnz={nnz} diags={k} dtype={D.dtype} "
+          f"state={(k + 1) * n * isz / 1e6:.0f}MB "
           f"spec HBM={HBM_BW/1e9:.0f}GB/s", file=sys.stderr)
 
-    x = jnp.asarray(np.random.default_rng(0).standard_normal(n), dtype=D.dtype)
-    # chain-normalisation constants so iterated products stay finite
-    amax = float(np.abs(np.asarray(D.data)).max())
-    c_spmv = 1.0 / (amax * k)
+    x = jax.random.normal(jax.random.PRNGKey(1), (n,), dtype=jnp.float32)
+    # chain-normalisation constant so iterated products stay finite
+    c_spmv = np.float32(1.0 / (4.0 * k))
 
-    # ---- streaming roofline over the SAME (k, n) data array ----
+    # ---- streaming roofline over the SAME per-diagonal streams ----
     # y <- (sum_d data[d] * y) * c reads k+1 arrays and writes one — byte-for-
     # byte the SpMV model without the shifts, so frac_spmv = t_stream/t_spmv
     # isolates exactly the shift overhead and VMEM-residency effects cancel.
@@ -173,7 +192,6 @@ def bench_scalar():
     pairs = dia_pairs(offsets)
     d0 = offsets.index(0)
 
-    mask_np = [np.asarray(m) for m in D.mask]
     mask_none = [bool(mask_np[d].all()) or offsets[d] < 0 for d in range(k)]
 
     def mk_fact(iters):
@@ -230,9 +248,7 @@ def bench_scalar():
     frac_apply = _record("scalar_ilu0_apply_pair", t_apply, bytes_apply,
                          stream_bw, nnz)
 
-    return ([frac_spmv, frac_fact, frac_apply],
-            dict(D=D, b=b, nnz=nnz, ilu=ilu, dinv=dinv,
-                 stream_bw=stream_bw, offsets=offsets))
+    return [frac_spmv, frac_fact, frac_apply]
 
 
 # ================================================================ block =====
@@ -241,17 +257,21 @@ def bench_block(bs: int, g: int):
     """Point-block kernels at block size ``bs`` on a g^3 block-row 7-point
     band — the reference's headline case (point-block async ILU(0) at bs=4/5,
     reference: src/async_blockilu_factor.cpp:46-149, kernels_ilu0_factorize
-    .hpp:71-98, arXiv:1912.00539).  All data generated on device."""
+    .hpp:71-98, arXiv:1912.00539).  All data generated on device, in the
+    container's native SoA component-stream layout (sparse/bdia.py)."""
     import jax
     import jax.numpy as jnp
 
-    from blasted_tpu.ops.bdia import bdia_spmv
-    from blasted_tpu.ops.sweeps import (
-        block_unit_lower_sweep,
-        block_upper_solve_sweep,
-        invert_diag_blocks,
+    from blasted_tpu.ops.bdia import (
+        bdia_spmv,
+        cols_of,
+        soa_unit_lower_sweep,
+        soa_upper_solve_sweep,
     )
-    from blasted_tpu.precond.bdia_ilu0 import bdia_factor_sweeps_soa
+    from blasted_tpu.precond.bdia_ilu0 import (
+        _soa_gj_inverse,
+        bdia_factor_sweeps_soa,
+    )
     from blasted_tpu.precond.dia_ilu0 import dia_pairs
     from blasted_tpu.sparse.bdia import BlockDiaMatrix
 
@@ -260,21 +280,30 @@ def bench_block(bs: int, g: int):
     k = len(offsets)
     d0 = offsets.index(0)
     pairs = dia_pairs(offsets)
-    nnzb_full = k * nb  # model count; mask trims boundaries slightly
+    lower = [d for d, o in enumerate(offsets) if o < 0]
+    upper = [d for d, o in enumerate(offsets) if o > 0]
 
     idx = np.arange(nb)
     i0, j0, k0 = idx % g, (idx // g) % g, idx // (g * g)
     mask_np = np.stack([k0 > 0, j0 > 0, i0 > 0, np.ones(nb, bool),
                         i0 < g - 1, j0 < g - 1, k0 < g - 1])
-    mask = jnp.asarray(mask_np)
+    mask = tuple(jnp.asarray(mask_np[d]) for d in range(k))
     nnz = int(mask_np.sum()) * bs * bs
 
     @jax.jit
     def gen(key, m):
-        v = 0.25 * jax.random.normal(key, (k, nb, bs, bs), dtype=jnp.float32)
-        eye = jnp.eye(bs, dtype=v.dtype)
-        v = v.at[d0].add(2.0 * k * eye)   # block-diagonally dominant
-        return jnp.where(m[:, :, None, None], v, 0.0)
+        out = []
+        for d in range(k):
+            comp = []
+            for i in range(bs):
+                for j in range(bs):
+                    kk = jax.random.fold_in(key, d * bs * bs + i * bs + j)
+                    v = 0.25 * jax.random.normal(kk, (nb,), dtype=jnp.float32)
+                    if d == d0 and i == j:
+                        v = v + 2.0 * k        # block-diagonally dominant
+                    comp.append(jnp.where(m[d], v, 0.0))
+            out.append(tuple(comp))
+        return tuple(out)
 
     data = gen(jax.random.PRNGKey(0), mask)
     A = BlockDiaMatrix(data=data, mask=mask, offsets=offsets)
@@ -286,23 +315,25 @@ def bench_block(bs: int, g: int):
     x = jax.random.normal(xkey, (nb, bs), dtype=jnp.float32)
     c = 1.0 / (4.0 * k * k)
 
-    def _term(blocks, seg):
-        return jnp.einsum("rij,rj->ri", blocks, seg,
-                          preferred_element_type=blocks.dtype)
-
     # ---- block streaming roofline: bspmv byte pattern without the shifts ----
     def mk_stream(iters):
         @jax.jit
-        def run(dd, y):
-            def body(i, v):
-                acc = _term(dd[0], v)
-                for d in range(1, k):
-                    acc = acc + _term(dd[d], v)
-                return acc * c
-            return jnp.sum(jax.lax.fori_loop(0, iters, body, y))
+        def run(dd, ys):
+            def body(_, vs):
+                out = []
+                for i in range(bs):
+                    acc = None
+                    for d in range(k):
+                        for j in range(bs):
+                            t = dd[d][i * bs + j] * vs[j]
+                            acc = t if acc is None else acc + t
+                    out.append(acc * c)
+                return tuple(out)
+            outs = jax.lax.fori_loop(0, iters, body, ys)
+            return sum(jnp.sum(o) for o in outs)
         return run
 
-    t_stream = _slope_time(mk_stream, (data, x))
+    t_stream = _slope_time(mk_stream, (data, cols_of(x)))
     bytes_stream = (k * bs * bs + 2 * bs) * nb * isz
     stream_bw = bytes_stream / t_stream
     DETAIL[f"block{bs}_stream"] = {
@@ -314,7 +345,7 @@ def bench_block(bs: int, g: int):
           f"{stream_bw/1e9:.0f} GB/s ({stream_bw/HBM_BW:.2f} of spec)",
           file=sys.stderr)
 
-    # ---- bspmv ----
+    # ---- bspmv (production kernel incl. the (nb,bs)<->streams boundary) ----
     def mk_bspmv(iters):
         @jax.jit
         def run(Am, v):
@@ -326,15 +357,13 @@ def bench_block(bs: int, g: int):
     frac_bspmv = _record(f"block{bs}_bspmv", t_bspmv, bytes_stream,
                          stream_bw, nnz)
 
-    # ---- block ILU0 factor sweep (self-stable fixed point; SoA hot loop,
-    # the production path — the AoS↔SoA conversions sit outside the sweep
-    # loop so the two-point slope cancels them exactly) ----
+    # ---- block ILU0 factor sweep (self-stable fixed point; SoA streams) ----
     def mk_fact(iters):
         @jax.jit
         def run(Am, ilu):
             out = bdia_factor_sweeps_soa(Am.offsets, pairs, d0, Am.mask,
                                          Am.data, ilu, iters)
-            return jnp.sum(out[d0])
+            return sum(jnp.sum(cmp) for cmp in out[d0])
         return run
 
     t_bfact = _slope_time(mk_fact, (A, data))
@@ -346,14 +375,12 @@ def bench_block(bs: int, g: int):
     frac_bfact = _record(f"block{bs}_ilu0_factor", t_bfact, bytes_bfact,
                          stream_bw, nnz)
 
-    # ---- block ILU0 apply sweep-pair ----
+    # ---- block ILU0 apply sweep-pair (SoA stream sweeps) ----
     @jax.jit
     def factor8(Am):
         ilu = bdia_factor_sweeps_soa(Am.offsets, pairs, d0, Am.mask,
                                      Am.data, Am.data, 8)
-        eye = jnp.eye(bs, dtype=ilu.dtype)
-        dmask = Am.mask[d0][:, None, None]
-        dinv = invert_diag_blocks(jnp.where(dmask, ilu[d0], eye))
+        dinv = _soa_gj_inverse(ilu[d0], bs, Am.mask[d0])
         return ilu, dinv
 
     ilu, dinv = factor8(A)
@@ -361,11 +388,15 @@ def bench_block(bs: int, g: int):
     def mk_apply(iters):
         @jax.jit
         def run(Am, iluv, di, z, y0):
+            zc = cols_of(z)
+
             def pair(y):
-                y1 = block_unit_lower_sweep(Am, iluv, z, y)
-                return block_upper_solve_sweep(Am, iluv, di, z, y1)
-            return jnp.sum(jax.lax.fori_loop(0, iters,
-                                             lambda i, y: pair(y), y0))
+                y1 = soa_unit_lower_sweep(iluv, offsets, lower, zc, y, bs)
+                return soa_upper_solve_sweep(iluv, di, offsets, upper,
+                                             y1, y1, bs)
+            out = jax.lax.fori_loop(0, iters, lambda i, y: pair(y),
+                                    cols_of(y0))
+            return sum(jnp.sum(o) for o in out)
         return run
 
     t_bapply = _slope_time(mk_apply, (A, ilu, dinv, x, jnp.zeros_like(x)))
@@ -429,19 +460,45 @@ def bench_csr():
 
 # ================================================================ solve =====
 
-def bench_solve(scal):
+def bench_solve():
     """End-to-end BiCGSTAB + DIA-ILU0(8,4) on the 160^3 Poisson system
     (reference e2e analogue: tests/testsolve.cpp:28-123 — read system, build
-    preconditioner, Krylov-solve, check).  Reports time-to-solution."""
+    preconditioner, Krylov-solve, check).  Reports time-to-solution.  The
+    library path: host-assembled system, uploaded once (~130 MB through the
+    tunnel), factored on device."""
     import jax
     import jax.numpy as jnp
 
+    from blasted_tpu.apps import poisson3d_system
+    from blasted_tpu.factory import to_device_matrix
     from blasted_tpu.ops.spmv import spmv
     from blasted_tpu.ops.sweeps import unit_lower_sweep, upper_solve_sweep
+    from blasted_tpu.precond.dia_ilu0 import dia_factor_sweep_tuple, dia_pairs
     from blasted_tpu.solvers import bicgstab
 
-    D, b, nnz = scal["D"], scal["b"], scal["nnz"]
-    ilu, dinv = scal["ilu"], scal["dinv"]
+    npts = int(os.environ.get("BENCH_NPTS", "162"))
+    A, b, _ = poisson3d_system((npts, npts, npts), dist="uniform")
+    D = to_device_matrix(A)
+    nnz = A.nnz
+    offsets = D.offsets
+    k = len(offsets)
+    d0 = offsets.index(0)
+    pairs = dia_pairs(offsets)
+    mask_np = [np.asarray(m) for m in D.mask]
+    mask_none = [bool(mask_np[d].all()) or offsets[d] < 0 for d in range(k)]
+    print(f"[solve] n={D.nrows} nnz={nnz}", file=sys.stderr)
+
+    @jax.jit
+    def factor8(mask, base, ilu):
+        mask_t = tuple(None if mask_none[d] else mask[d] for d in range(k))
+        out = jax.lax.fori_loop(
+            0, 8, lambda i, v: dia_factor_sweep_tuple(offsets, pairs, d0,
+                                                      mask_t, base, v),
+            tuple(ilu))
+        return out
+
+    ilu = factor8(D.mask, D.data, D.data)
+    dinv = 1.0 / jnp.where(ilu[d0] == 0, 1.0, ilu[d0])
     bvec = jnp.asarray(b, dtype=D.dtype)
     napply = int(os.environ.get("BENCH_SOLVE_SWEEPS", "4"))
     tol = float(os.environ.get("BENCH_SOLVE_TOL", "1e-5"))
@@ -486,19 +543,16 @@ def bench_solve(scal):
 
 def main():
     fracs = []
-    scal = None
-    if "scalar" in PARTS or "solve" in PARTS:
-        f, scal = bench_scalar()
-        if "scalar" in PARTS:
-            fracs += f
+    if "scalar" in PARTS:
+        fracs += bench_scalar()
     if "block4" in PARTS:
         fracs += bench_block(4, int(os.environ.get("BENCH_BLOCK_G4", "64")))
     if "block5" in PARTS:
         fracs += bench_block(5, int(os.environ.get("BENCH_BLOCK_G5", "48")))
     if "csr" in PARTS:
         bench_csr()
-    if "solve" in PARTS and scal is not None:
-        bench_solve(scal)
+    if "solve" in PARTS:
+        bench_solve()
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "bench_detail.json")

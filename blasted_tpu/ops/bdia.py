@@ -1,9 +1,17 @@
-"""Block-DIA kernels: shifted batched-matmul products on the MXU.
+"""Block-DIA kernels: shifted lane-parallel block products on SoA streams.
 
 Counterparts of the padded-BSR block kernels for
 :class:`~blasted_tpu.sparse.bdia.BlockDiaMatrix`: each selected block
-diagonal contributes ``data[d, i] @ x[i + off_d]`` — one einsum batched over
-rows, shifted block-segment reads, zero gathers.
+diagonal contributes ``data[d, i] @ x[i + off_d]`` — unrolled bs²-FMA
+component streams, shifted block-segment reads, zero gathers
+(reference: the per-row Eigen block products of src/blas/matvecs.cpp:107-182
+and kernels_ilu_apply.hpp:54-94).
+
+Layout rationale (measured, see sparse/bdia.py): the stacked
+``(k, nb, bs, bs)`` einsum form runs 0.559 ms for the 7-diagonal bs=4 SpMV
+at nb=262k on a real v5e; the same math over SoA component streams runs
+**0.162 ms** (775 GB/s).  Block vectors are ``(nbrows, bs)`` at the API
+boundary and travel as bs column streams inside sweep loops.
 """
 
 from __future__ import annotations
@@ -15,26 +23,71 @@ from ..sparse.bdia import BlockDiaMatrix
 from ..sparse.dia import shift_read
 
 __all__ = ["bdia_mv", "bdia_spmv", "bdia_gemv3", "bdia_lower_mv",
-           "bdia_upper_mv"]
+           "bdia_upper_mv", "cols_of", "stack_cols",
+           "soa_mv_streams", "soa_dinv_mul",
+           "soa_unit_lower_sweep", "soa_upper_solve_sweep"]
 
 
-def _term(blocks: jax.Array, seg: jax.Array) -> jax.Array:
-    return jnp.einsum("rij,rj->ri", blocks, seg,
-                      preferred_element_type=blocks.dtype)
+def cols_of(x: jax.Array) -> tuple:
+    """(nbrows, bs) block vector → tuple of bs (nbrows,) column streams."""
+    return tuple(x[:, j] for j in range(x.shape[1]))
 
 
-def bdia_mv(A: BlockDiaMatrix, data: jax.Array, x: jax.Array,
-            which: str) -> jax.Array:
-    """x is (nbrows, bs); selects diagonals by sign of offset."""
-    sel = {"all": lambda o: True, "lower": lambda o: o < 0,
-           "upper": lambda o: o > 0}[which]
-    idx = [d for d, o in enumerate(A.offsets) if sel(o)]
-    if not idx:
+def stack_cols(cols) -> jax.Array:
+    """Column streams → (nbrows, bs)."""
+    return jnp.stack(list(cols), axis=1)
+
+
+def soa_mv_streams(data, offsets, sel, cols, bs: int) -> list:
+    """y_i = Σ_{d∈sel} Σ_j data[d][i·bs+j] · x_j[·+off_d] as bs streams."""
+    zero = None
+    out = []
+    for i in range(bs):
+        acc = None
+        for d in sel:
+            o = offsets[d]
+            for j in range(bs):
+                t = data[d][i * bs + j] * shift_read(cols[j], o)
+                acc = t if acc is None else acc + t
+        if acc is None:
+            if zero is None:
+                zero = jnp.zeros_like(cols[0])
+            acc = zero
+        out.append(acc)
+    return out
+
+
+def soa_dinv_mul(dinv, cols, bs: int) -> list:
+    """Pre-inverted diagonal-block product: z_i = Σ_j dinv[i·bs+j] · t_j."""
+    return [sum(dinv[i * bs + j] * cols[j] for j in range(bs))
+            for i in range(bs)]
+
+
+def soa_unit_lower_sweep(data, offsets, lower, z_cols, y_cols, bs: int):
+    """One y ← z − L y sweep on column streams (unit block diagonal;
+    reference: kernels_ilu_apply.hpp block_unit_lower_triangular, :54-67)."""
+    ly = soa_mv_streams(data, offsets, lower, y_cols, bs)
+    return tuple(z - l for z, l in zip(z_cols, ly))
+
+
+def soa_upper_solve_sweep(data, dinv, offsets, upper, y_cols, z_cols, bs: int):
+    """One z ← U_ii⁻¹ (y − U z) sweep on column streams (diag pre-inverted;
+    reference: kernels_ilu_apply.hpp block_upper_triangular, :79-94)."""
+    uz = soa_mv_streams(data, offsets, upper, z_cols, bs)
+    t = [y - u for y, u in zip(y_cols, uz)]
+    return tuple(soa_dinv_mul(dinv, t, bs))
+
+
+def bdia_mv(A: BlockDiaMatrix, data, x: jax.Array, which: str) -> jax.Array:
+    """x is (nbrows, bs); selects diagonals by sign of offset.  ``data`` is
+    the SoA component layout (any value operand in A's layout)."""
+    sel_fn = {"all": lambda o: True, "lower": lambda o: o < 0,
+              "upper": lambda o: o > 0}[which]
+    sel = [d for d, o in enumerate(A.offsets) if sel_fn(o)]
+    if not sel:
         return jnp.zeros_like(x)
-    acc = _term(data[idx[0]], shift_read(x, A.offsets[idx[0]]))
-    for d in idx[1:]:
-        acc = acc + _term(data[d], shift_read(x, A.offsets[d]))
-    return acc
+    bs = A.bs
+    return stack_cols(soa_mv_streams(data, A.offsets, sel, cols_of(x), bs))
 
 
 def bdia_spmv(A: BlockDiaMatrix, x: jax.Array) -> jax.Array:
@@ -43,13 +96,13 @@ def bdia_spmv(A: BlockDiaMatrix, x: jax.Array) -> jax.Array:
 
 def bdia_gemv3(A: BlockDiaMatrix, a, x: jax.Array, b, y: jax.Array) -> jax.Array:
     """z = a·A·x + b·y on (nbrows, bs) block vectors (reference: gemv3,
-    src/blas/matvecs.cpp:107-182); fuses into the batched-matmul pass."""
+    src/blas/matvecs.cpp:107-182); fuses into the streamed-FMA pass."""
     return a * bdia_mv(A, A.data, x, "all") + b * y
 
 
-def bdia_lower_mv(A: BlockDiaMatrix, data: jax.Array, x: jax.Array) -> jax.Array:
+def bdia_lower_mv(A: BlockDiaMatrix, data, x: jax.Array) -> jax.Array:
     return bdia_mv(A, data, x, "lower")
 
 
-def bdia_upper_mv(A: BlockDiaMatrix, data: jax.Array, x: jax.Array) -> jax.Array:
+def bdia_upper_mv(A: BlockDiaMatrix, data, x: jax.Array) -> jax.Array:
     return bdia_mv(A, data, x, "upper")

@@ -300,15 +300,17 @@ class DistBlockDiaSolver:
         self.settings = settings or AsyncSolverSettings(
             prec_type=PrecType.JACOBI)
         self._ax = row_axes(mesh)
-        self.data = jax.device_put(
-            B.data, NamedSharding(mesh, P(None, self._ax, None, None)))
-        self.mask = jax.device_put(
-            B.mask, NamedSharding(mesh, P(None, self._ax)))
+        sh1 = NamedSharding(mesh, P(self._ax))
+        self.data = jax.device_put(B.data, sh1)   # SoA component streams
+        self.mask = jax.device_put(B.mask, sh1)
         self._compute()
 
     def _compute(self):
-        from ..ops.sweeps import invert_diag_blocks
-        from ..precond.bdia_ilu0 import bdia_factor_sweeps_soa
+        from ..precond.bdia_ilu0 import (
+            _soa_bmm,
+            _soa_gj_inverse,
+            bdia_factor_sweeps_soa,
+        )
         from ..precond.dia_ilu0 import dia_pairs
 
         s = self.settings
@@ -326,59 +328,65 @@ class DistBlockDiaSolver:
         ngrows = nl * bs * int(self.mesh.devices.size)
 
         @partial(shard_map, mesh=self.mesh,
-                 in_specs=(P(None, ax, None, None), P(None, ax)),
-                 out_specs=(P(None, ax, None, None),
-                            P(ax, None, None), P()))
+                 in_specs=(P(ax), P(ax)),
+                 out_specs=(P(ax), P(ax), P()))
         def setup(dl, ml):
             r = jnp.arange(nl)
-            local_ok = jnp.stack(
-                [((r + o) >= 0) & ((r + o) < nl) for o in offsets])
-            mask_l = ml & local_ok
-            base = jnp.where(mask_l[:, :, None, None], dl, 0.0)
-            eye = jnp.eye(bs, dtype=base.dtype)
-            info6 = jnp.zeros(6, base.dtype)
+            mask_l = tuple(
+                ml[d] & ((r + o) >= 0) & ((r + o) < nl)
+                for d, o in enumerate(offsets))
+            base = tuple(tuple(jnp.where(m, c, 0.0) for c in comp)
+                         for m, comp in zip(mask_l, dl))
+            dt = base[0][0].dtype
+            info6 = jnp.zeros(6, dt)
             if t in (PrecType.JACOBI, PrecType.GS, PrecType.SGS):
-                dinv = invert_diag_blocks(
-                    jnp.where(mask_l[d0][:, None, None], base[d0], eye))
+                dinv = _soa_gj_inverse(base[d0], bs, mask_l[d0])
                 return base, dinv, info6
             ilu = bdia_factor_sweeps_soa(offsets, pairs, d0, mask_l,
                                          base, base, nsweeps)
-            dinv = invert_diag_blocks(
-                jnp.where(mask_l[d0][:, None, None], ilu[d0], eye))
+            dinv = _soa_gj_inverse(ilu[d0], bs, mask_l[d0])
             if s.compute_precinfo:
                 # block remainder + block diag dominance, reduced across
                 # shards (cf. the scalar DistDiaSolver and
                 # diagnostics.bdia_block_diagonal_dominance)
-                def bmm(a, b):
-                    return jnp.einsum("nij,njk->nik", a, b,
-                                      preferred_element_type=a.dtype)
                 udiag = ilu[d0]
-                rem = jnp.zeros((), base.dtype)
+                rem = jnp.zeros((), dt)
                 for d, o in enumerate(offsets):
-                    sv = base[d]
+                    sv = list(base[d])
                     for (dl_, du_, o1) in pairs[d]:
-                        sv = sv - bmm(ilu[dl_], shift_read(ilu[du_], o1))
-                    sv = sv - (bmm(ilu[d], shift_read(udiag, o)) if o < 0
-                               else ilu[d])
-                    rem = rem + jnp.sum(jnp.abs(
-                        jnp.where(mask_l[d][:, None, None], sv, 0.0)))
+                        prod = _soa_bmm(ilu[dl_], ilu[du_], bs, shift=o1)
+                        sv = [a - p for a, p in zip(sv, prod)]
+                    if o < 0:
+                        prod = _soa_bmm(ilu[d], udiag, bs, shift=o)
+                        sv = [a - p for a, p in zip(sv, prod)]
+                    else:
+                        sv = [a - c for a, c in zip(sv, ilu[d])]
+                    rem = rem + sum(
+                        jnp.sum(jnp.abs(jnp.where(mask_l[d], c, 0.0)))
+                        for c in sv)
                 low = [d for d, o in enumerate(offsets) if o < 0]
                 up = [d for d, o in enumerate(offsets) if o > 0]
-                zero = jnp.zeros((nl, bs), base.dtype)
-                lsum = sum((jnp.abs(ilu[d]).sum(axis=2) for d in low), zero)
-                usum = sum((jnp.abs(ilu[d]).sum(axis=2) for d in up), zero)
-                eyeb = jnp.eye(bs, dtype=bool)
-                usum = usum + jnp.where(eyeb, 0.0, jnp.abs(udiag)).sum(axis=2)
-                ddiag = jnp.abs(jnp.diagonal(udiag, axis1=1, axis2=2))
-                ldd = 1.0 - lsum
-                udd = 1.0 - usum / jnp.where(ddiag == 0, 1.0, ddiag)
+                zero = jnp.zeros((nl,), dt)
+                lsum = [sum((jnp.abs(ilu[d][i * bs + j])
+                             for d in low for j in range(bs)), zero)
+                        for i in range(bs)]
+                usum = [sum((jnp.abs(ilu[d][i * bs + j])
+                             for d in up for j in range(bs)), zero)
+                        + sum((jnp.abs(udiag[i * bs + j])
+                               for j in range(bs) if j != i), zero)
+                        for i in range(bs)]
+                ddiag = [jnp.abs(udiag[i * bs + i]) for i in range(bs)]
+                ldd = jnp.stack([1.0 - sI for sI in lsum], axis=1)
+                udd = jnp.stack(
+                    [1.0 - u / jnp.where(dI == 0, 1.0, dI)
+                     for u, dI in zip(usum, ddiag)], axis=1)
                 info6 = jnp.stack([
                     jax.lax.psum(rem, ax),
                     jax.lax.psum(jnp.sum(ldd), ax) / ngrows,
                     jax.lax.pmin(jnp.min(ldd), ax),
                     jax.lax.psum(jnp.sum(udd), ax) / ngrows,
                     jax.lax.pmin(jnp.min(udd), ax),
-                    jnp.zeros((), base.dtype)])
+                    jnp.zeros((), dt)])
             return ilu, dinv, info6
 
         vals, dinv, info6 = setup(self.data, self.mask)
@@ -397,41 +405,49 @@ class DistBlockDiaSolver:
 
     def amat(self, x: jax.Array) -> jax.Array:
         """x is the row-sharded (nbrows, bs) global block vector."""
-        offsets, H = self.offsets, self.halo
+        offsets, H, bs = self.offsets, self.halo, self.bs
         ax = self._ax
 
         @partial(shard_map, mesh=self.mesh,
-                 in_specs=(P(None, ax, None, None), P(ax, None)),
+                 in_specs=(P(ax), P(ax, None)),
                  out_specs=P(ax, None))
         def f(dl, xl):
-            # interior block products first (independent of the halo), so the
-            # collective-permute overlaps the batched MXU matmuls; then
-            # correct the |o| boundary block-rows per diagonal
+            # interior SoA products first (independent of the halo), so the
+            # collective-permute overlaps the streamed FMAs; then correct
+            # the |o| boundary block-rows per diagonal from the halos
             nl = xl.shape[0]
             left, right = _ring_halo(xl, H, ax)
-            acc = None
-            for d, o in enumerate(offsets):
-                term = jnp.einsum("rij,rj->ri", dl[d], shift_read(xl, o),
-                                  preferred_element_type=xl.dtype)
-                acc = term if acc is None else acc + term
+            cols = [xl[:, j] for j in range(bs)]
+            lcol = [left[:, j] for j in range(bs)]
+            rcol = [right[:, j] for j in range(bs)]
+            acc = [None] * bs
+            for i in range(bs):
+                for d, o in enumerate(offsets):
+                    for j in range(bs):
+                        tm = dl[d][i * bs + j] * shift_read(cols[j], o)
+                        acc[i] = tm if acc[i] is None else acc[i] + tm
             for d, o in enumerate(offsets):
                 if o < 0:
-                    acc = acc.at[:-o].add(jnp.einsum(
-                        "rij,rj->ri", dl[d][:-o], left[H + o:],
-                        preferred_element_type=xl.dtype))
+                    for i in range(bs):
+                        corr = sum(dl[d][i * bs + j][:-o] * lcol[j][H + o:]
+                                   for j in range(bs))
+                        acc[i] = acc[i].at[:-o].add(corr)
                 elif o > 0:
-                    acc = acc.at[nl - o:].add(jnp.einsum(
-                        "rij,rj->ri", dl[d][nl - o:], right[:o],
-                        preferred_element_type=xl.dtype))
-            return acc
+                    for i in range(bs):
+                        corr = sum(dl[d][i * bs + j][nl - o:] * rcol[j][:o]
+                                   for j in range(bs))
+                        acc[i] = acc[i].at[nl - o:].add(corr)
+            return jnp.stack(acc, axis=1)
 
         return f(self.data, x)
 
     def prec_apply(self, r: jax.Array) -> jax.Array:
         if self._prec_state is None:
             return r
+        from ..ops.bdia import soa_dinv_mul, soa_mv_streams
+
         s = self.settings
-        offsets = self.offsets
+        offsets, bs = self.offsets, self.bs
         vals, dinv = self._prec_state
         t = s.prec_type
         ns = max(s.napplysweeps, 1)
@@ -441,44 +457,45 @@ class DistBlockDiaSolver:
         ax = self._ax
 
         @partial(shard_map, mesh=self.mesh,
-                 in_specs=(P(None, ax, None, None),
-                           P(ax, None, None), P(ax, None)),
+                 in_specs=(P(ax), P(ax), P(ax, None)),
                  out_specs=P(ax, None))
         def apply_local(vl, di, rl):
+            rc = [rl[:, j] for j in range(bs)]
+            zero = [jnp.zeros_like(c) for c in rc]
+
             def dmul(seg):
-                return jnp.einsum("rij,rj->ri", di, seg,
-                                  preferred_element_type=rl.dtype)
+                return soa_dinv_mul(di, seg, bs)
 
             def tri_mv(sel, y):
-                acc = jnp.zeros_like(y)
-                for d in sel:
-                    acc = acc + jnp.einsum(
-                        "rij,rj->ri", vl[d], shift_read(y, offsets[d]),
-                        preferred_element_type=y.dtype)
-                return acc
+                return soa_mv_streams(vl, offsets, sel, y, bs)
 
             if t == PrecType.JACOBI:
-                return dmul(rl)
+                return jnp.stack(dmul(rc), axis=1)
             if t == PrecType.GS:
-                x = jnp.zeros_like(rl)
+                x = zero
                 for _ in range(ns):
-                    x = dmul(rl - tri_mv(lower, x) - tri_mv(upper, x))
-                return x
+                    lx, ux = tri_mv(lower, x), tri_mv(upper, x)
+                    x = dmul([r0 - l - u for r0, l, u in zip(rc, lx, ux)])
+                return jnp.stack(x, axis=1)
             if t == PrecType.SGS:
-                y = jnp.zeros_like(rl)
+                y = zero
                 for _ in range(ns):
-                    y = dmul(rl - tri_mv(lower, y))
-                z = jnp.zeros_like(rl)
+                    ly = tri_mv(lower, y)
+                    y = dmul([r0 - l for r0, l in zip(rc, ly)])
+                z = zero
                 for _ in range(ns):
-                    z = y - dmul(tri_mv(upper, z))
-                return z
-            y = jnp.zeros_like(rl)
+                    uz = dmul(tri_mv(upper, z))
+                    z = [yi - u for yi, u in zip(y, uz)]
+                return jnp.stack(z, axis=1)
+            y = zero
             for _ in range(ns):
-                y = rl - tri_mv(lower, y)
-            z = y if s.apply_init == ApplyInit.JACOBI else jnp.zeros_like(rl)
+                ly = tri_mv(lower, y)
+                y = [r0 - l for r0, l in zip(rc, ly)]
+            z = y if s.apply_init == ApplyInit.JACOBI else zero
             for _ in range(ns):
-                z = dmul(y - tri_mv(upper, z))
-            return z
+                uz = tri_mv(upper, z)
+                z = dmul([yi - u for yi, u in zip(y, uz)])
+            return jnp.stack(z, axis=1)
 
         return apply_local(vals, dinv, r)
 

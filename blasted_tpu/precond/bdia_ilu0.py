@@ -1,16 +1,24 @@
-"""Fixed-point block-ILU(0) on block-DIA storage — gather-free, MXU-batched.
+"""Fixed-point block-ILU(0) on block-DIA storage — gather-free, lane-parallel.
 
 Block analogue of precond/dia_ilu0.py (same diagonal-pair structure) with the
 block algebra of the reference's point-block kernels
 (reference: kernels_ilu0_factorize.hpp:71-98 async_block_ilu0_factorize,
 async_blockilu_factor.cpp): one factorization sweep is, per block diagonal o,
 
-    S_o[i]  = Â_o[i] − Σ_{(o1,o2)} ilu_o1[i] · ilu_o2[i+o1]     (bs×bs matmuls)
+    S_o[i]  = Â_o[i] − Σ_{(o1,o2)} ilu_o1[i] · ilu_o2[i+o1]     (bs×bs products)
     ilu_o[i] = S_o[i] · (ilu_0[i+o])⁻¹                           (o < 0)
 
-with the previous sweep's diagonal-block inverses batched through
-``jnp.linalg.inv``, and diagonal blocks pre-inverted after the last sweep for
-the triangular applies (reference: async_blockilu_factor.cpp:143-147).
+with the previous sweep's diagonal-block inverses computed by a batched
+pivoted Gauss-Jordan, and diagonal blocks pre-inverted after the last sweep
+for the triangular applies (reference: async_blockilu_factor.cpp:143-147).
+
+Everything runs on structure-of-arrays component streams (the container's
+native layout, sparse/bdia.py).  Measured on a real v5e at nb=262144, bs=4:
+the batched (nb,4,4)@(nb,4,4) einsum runs 3.65 ms (MXU tile padding burns
+~97% of the array) and jnp.linalg.inv 308 ms, while the same math as
+unrolled elementwise FMAs over (nb,) component streams runs 0.018 ms (bmm) /
+0.17 ms (pivoted Gauss-Jordan) — ~200x/1800x.  Applies likewise: the SoA
+sweep-pair beats the einsum form ~3.5x (see ops/bdia.py).
 """
 
 from __future__ import annotations
@@ -22,74 +30,30 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import SEQUENTIAL, ApplyInit, FactInit
-from ..ops.sweeps import (
-    block_unit_lower_sweep,
-    block_upper_solve_sweep,
-    invert_diag_blocks,
-    run_sweeps,
+from ..ops.bdia import (
+    cols_of,
+    soa_unit_lower_sweep,
+    soa_upper_solve_sweep,
+    stack_cols,
 )
 from ..sparse.bdia import BlockDiaMatrix
 from ..sparse.dia import shift_read
 from .base import Preconditioner, PrecInfo
 from .dia_ilu0 import dia_pairs
-from .levels import (
-    compute_levels_lower,
-    compute_levels_upper,
-    exact_block_lower_solve,
-    exact_block_upper_solve,
-)
+from .levels import compute_levels_lower, compute_levels_upper, level_loop
 
 __all__ = ["BlockDiaILU0Preconditioner", "bdia_factor_sweep",
            "bdia_factor_sweeps_soa"]
 
 
-def _bmm(a, b):
-    return jnp.einsum("nij,njk->nik", a, b, preferred_element_type=a.dtype)
-
-
 # ------------------------------------------------------------------ SoA -----
-# Structure-of-arrays factorization: block components as (bs, bs, nb) lane-
-# parallel streams.  Measured on a real v5e at nb=262144, bs=4: the batched
-# (nb,4,4)@(nb,4,4) einsum runs 3.65 ms (MXU tile padding burns ~97% of the
-# array) and jnp.linalg.inv 308 ms, while the same math as unrolled
-# elementwise FMAs over (bs,bs,nb) streams runs 0.018 ms (bmm) / 0.17 ms
-# (pivoted Gauss-Jordan) — ~200x/1800x.  The factor loop therefore converts
-# to SoA once, sweeps there, and converts back; SpMV/apply stay AoS (their
-# "rij,rj->ri" contraction already measures at ~0.9-1.05 of stream).
-
-def _soa(stacked):
-    """(k, nb, bs, bs) → tuple[k] of tuple[bs·bs] of (nb,) component streams
-    (row-major within the block).  Flat tuples keep every intermediate an
-    unmaterialised (nb,) vector — no stacks inside the sweep loop."""
-    k, _, bs, _ = stacked.shape
-    return tuple(tuple(stacked[d, :, i, j]
-                       for i in range(bs) for j in range(bs))
-                 for d in range(k))
-
-
-def _aos(soa_t, bs: int):
-    """tuple[k] of tuple[bs·bs] of (nb,) → (k, nb, bs, bs)."""
-    return jnp.stack([
-        jnp.stack(list(comp), axis=0).reshape(bs, bs, -1).transpose(2, 0, 1)
-        for comp in soa_t])
-
-
-def _shift_last(x, o: int):
-    """s[i] = x[i+o] along the row axis of an (nb,) stream, zero beyond."""
-    if o == 0:
-        return x
-    nb = x.shape[0]
-    if o > 0:
-        return jnp.concatenate([x[o:], jnp.zeros((o,), x.dtype)])
-    return jnp.concatenate([jnp.zeros((-o,), x.dtype), x[:o]])
-
 
 def _soa_bmm(a, b, bs: int, shift: int = 0):
     """Block product on component tuples: c[i·bs+k] = Σ_j a[i,j]·b[j,k]
     (b read at row offset ``shift``) — bs³ unrolled lane-parallel FMAs (the
     TPU form of the reference's per-row Eigen block products,
     kernels_ilu0_factorize.hpp:71-98)."""
-    bsh = [_shift_last(c, shift) for c in b] if shift else list(b)
+    bsh = [shift_read(c, shift) for c in b] if shift else list(b)
     out = []
     for i in range(bs):
         for k in range(bs):
@@ -103,8 +67,8 @@ def _soa_bmm(a, b, bs: int, shift: int = 0):
 def _soa_gj_inverse(a, bs: int, dmask):
     """Batched pivoted Gauss-Jordan on component tuples — every step an
     elementwise op over (nb,) lanes (cf. ops.sweeps._gauss_jordan_inverse,
-    the AoS form used outside the factor hot loop).  ``dmask`` (nb,) marks
-    stored diagonal blocks; masked rows invert the identity."""
+    the AoS form used for non-DIA storage).  ``dmask`` (nb,) marks stored
+    diagonal blocks; masked rows invert the identity."""
     nb = a[0].shape[0]
     dt = a[0].dtype
     one = jnp.ones((nb,), dt)
@@ -132,7 +96,7 @@ def _soa_gj_inverse(a, bs: int, dmask):
             else:
                 f = M[r][col]
                 M[r] = [M[r][j] - f * pn[j] for j in range(2 * bs)]
-    return [M[i][bs + j] for i in range(bs) for j in range(bs)]
+    return tuple(M[i][bs + j] for i in range(bs) for j in range(bs))
 
 
 def _soa_sweep(offsets, pairs, d0, mask, base_t, ilu_t, bs: int):
@@ -157,15 +121,16 @@ def _soa_sweep(offsets, pairs, d0, mask, base_t, ilu_t, bs: int):
 def bdia_factor_sweeps_soa(offsets, pairs, d0, mask, base, ilu0,
                            nsweeps: int, level=None, fact_inner: int = 1,
                            nlev: int = 0):
-    """Run the block fixed-point factorization in SoA layout.
+    """Run the block fixed-point factorization on SoA component streams.
 
-    ``base``/``ilu0`` are stacked AoS ``(k, nb, bs, bs)``; the conversion
-    happens once around the whole sweep loop.  With ``level`` given (exact
-    path), each of ``nlev × fact_inner`` steps commits only the rows of the
-    active wavefront, reproducing the sequential factorization."""
-    bs = base.shape[-1]
-    base_t = _soa(jnp.where(mask[:, :, None, None], base, 0.0))
-    ilu_t = _soa(ilu0)
+    ``base``/``ilu0`` are the container's native SoA nested tuples; ``mask``
+    a tuple of (nb,) bools.  With ``level`` given (exact path), each of
+    ``nlev × fact_inner`` steps commits only the rows of the active
+    wavefront, reproducing the sequential factorization."""
+    bs = int(round(len(base[0]) ** 0.5))
+    base_t = tuple(tuple(jnp.where(m, c, 0.0) for c in comp)
+                   for m, comp in zip(mask, base))
+    ilu_t = tuple(tuple(comp) for comp in ilu0)
 
     if level is None:
         def body(i, t):
@@ -182,30 +147,19 @@ def bdia_factor_sweeps_soa(offsets, pairs, d0, mask, base, ilu0,
                          for tna, tb in zip(tn, t))
 
         ilu_t = jax.lax.fori_loop(0, nlev * fact_inner, body, ilu_t)
-    return _aos(ilu_t, bs)
+    return ilu_t
 
 
 def bdia_factor_sweep(offsets, pairs, d0, mask, base, ilu):
-    """One block Chow–Patel fixed-point sweep on block-DIA storage (pure
+    """One block Chow–Patel fixed-point sweep on SoA block-DIA values (pure
     function; shared by local and shard-mapped distributed paths)."""
-    bs = base.shape[-1]
-    eye = jnp.eye(bs, dtype=base.dtype)
-    dmask = mask[d0][:, None, None]
-    dinv = invert_diag_blocks(jnp.where(dmask, ilu[d0], eye))
-    rows = []
-    for d, o in enumerate(offsets):
-        s = base[d]
-        for (dl, du, o1) in pairs[d]:
-            s = s - _bmm(ilu[dl], shift_read(ilu[du], o1))
-        if o < 0:
-            s = _bmm(s, shift_read(dinv, o))
-        rows.append(jnp.where(mask[d][:, None, None], s, 0.0))
-    return jnp.stack(rows)
+    bs = int(round(len(base[0]) ** 0.5))
+    return _soa_sweep(offsets, pairs, d0, mask, base, ilu, bs)
 
 
 class _BDiaILUState(NamedTuple):
-    ilu: jax.Array       # (k, nb, bs, bs)
-    ilu_dinv: jax.Array  # (nb, bs, bs) pre-inverted diagonal blocks
+    ilu: tuple           # k × (bs² × (nb,)) SoA factor streams
+    ilu_dinv: tuple      # bs² × (nb,) pre-inverted diagonal-block streams
     scale: jax.Array | None
     low_level: jax.Array
     up_level: jax.Array
@@ -247,24 +201,29 @@ class BlockDiaILU0Preconditioner(Preconditioner):
         A = self.mat
         if scale is None:
             return A.data
-        rows = []
+        bs = A.bs
+        srow = cols_of(scale)
+        out = []
         for d, o in enumerate(A.offsets):
-            scol = shift_read(scale, o)
-            rows.append(A.data[d] * scale[:, :, None] * scol[:, None, :])
-        return jnp.stack(rows)
+            scol = [shift_read(s, o) for s in srow]
+            out.append(tuple(A.data[d][i * bs + j] * srow[i] * scol[j]
+                             for i in range(bs) for j in range(bs)))
+        return tuple(out)
 
     def _fact_initial(self, base):
         A = self.mat
         if self.fact_init == FactInit.SGS:
-            dinv = invert_diag_blocks(base[self._d0])
-            rows = []
+            bs = A.bs
+            dinv = _soa_gj_inverse(base[self._d0], bs, A.mask[self._d0])
+            out = []
             for d, o in enumerate(A.offsets):
                 if o < 0:
-                    prod = _bmm(base[d], shift_read(dinv, o))
-                    rows.append(jnp.where(A.mask[d][:, None, None], prod, 0.0))
+                    prod = _soa_bmm(base[d], dinv, bs, shift=o)
+                    out.append(tuple(jnp.where(A.mask[d], c, 0.0)
+                                     for c in prod))
                 else:
-                    rows.append(base[d])
-            return jnp.stack(rows)
+                    out.append(base[d])
+            return tuple(out)
         return base
 
     def _factor_sweep_fn(self, base):
@@ -279,10 +238,12 @@ class BlockDiaILU0Preconditioner(Preconditioner):
 
     def compute(self) -> PrecInfo:
         A = self.mat
+        bs = A.bs
         low, nlow, up, nup, fact_inner = self._build_levels()
         scale = None
         if self.use_scaling:
-            diag = jnp.diagonal(A.diag_blocks, axis1=-2, axis2=-1)  # (nb, bs)
+            d0c = A.data[self._d0]
+            diag = stack_cols([d0c[i * bs + i] for i in range(bs)])  # (nb, bs)
             scale = 1.0 / jnp.sqrt(diag)
         base = self._scaled_base(scale)
 
@@ -292,8 +253,6 @@ class BlockDiaILU0Preconditioner(Preconditioner):
             ilu = self._fact_initial(base)
 
         info0 = self._nonlinear_res(base, ilu) if self.compute_precinfo else 0.0
-        # SoA hot loop (see module comment at bdia_factor_sweeps_soa):
-        # ~200x over the batched-einsum form on real TPU at bs=4
         if self.nbuildsweeps == SEQUENTIAL:
             ilu = bdia_factor_sweeps_soa(A.offsets, self._pairs, self._d0,
                                          A.mask, base, ilu, 0,
@@ -304,13 +263,12 @@ class BlockDiaILU0Preconditioner(Preconditioner):
                                          A.mask, base, ilu,
                                          self.nbuildsweeps)
 
-        eye = jnp.eye(A.bs, dtype=base.dtype)
-        dmask = A.mask[self._d0][:, None, None]
         ilu_store = ilu if self.apply_dtype is None \
-            else ilu.astype(self.apply_dtype)
+            else tuple(tuple(c.astype(self.apply_dtype) for c in comp)
+                       for comp in ilu)
         self.state = _BDiaILUState(
             ilu=ilu_store,
-            ilu_dinv=invert_diag_blocks(jnp.where(dmask, ilu[self._d0], eye)),
+            ilu_dinv=_soa_gj_inverse(ilu[self._d0], bs, A.mask[self._d0]),
             scale=scale,
             low_level=low,
             up_level=up,
@@ -331,42 +289,64 @@ class BlockDiaILU0Preconditioner(Preconditioner):
     def _nonlinear_res(self, base, ilu):
         """Block ILU fixed-point remainder on block-DIA storage
         (reference: block_ilu0_nonlinear_res, async_blockilu_factor.cpp
-        :97-141), per block diagonal with shifted batched matmuls."""
+        :97-141), per block diagonal with shifted SoA block products."""
         A = self.mat
+        bs = A.bs
         udiag = ilu[self._d0]
-        total = jnp.zeros((), base.dtype)
+        total = jnp.zeros((), base[0][0].dtype)
         for d, o in enumerate(A.offsets):
-            s = base[d]
+            s = list(base[d])
             for (dl, du, o1) in self._pairs[d]:
-                s = s - _bmm(ilu[dl], shift_read(ilu[du], o1))
+                prod = _soa_bmm(ilu[dl], ilu[du], bs, shift=o1)
+                s = [si - pi for si, pi in zip(s, prod)]
             if o < 0:
-                s = s - _bmm(ilu[d], shift_read(udiag, o))
+                prod = _soa_bmm(ilu[d], udiag, bs, shift=o)
+                s = [si - pi for si, pi in zip(s, prod)]
             else:
-                s = s - ilu[d]
-            total = total + jnp.sum(
-                jnp.abs(jnp.where(A.mask[d][:, None, None], s, 0.0)))
+                s = [si - ci for si, ci in zip(s, ilu[d])]
+            total = total + sum(
+                jnp.sum(jnp.abs(jnp.where(A.mask[d], c, 0.0))) for c in s)
         return total
 
     def apply_with(self, mat, state, r: jax.Array) -> jax.Array:
-        """r, z are (nbrows, bs) block segments."""
+        """r, z are (nbrows, bs) block segments; the sweeps carry bs column
+        streams (one split/stack per apply, zero materialisation inside)."""
         st = state
         A = mat
+        bs = A.bs
+        offsets = A.offsets
+        lower = [d for d, o in enumerate(offsets) if o < 0]
+        upper = [d for d, o in enumerate(offsets) if o > 0]
         _, nlow, _, nup, _ = self._build_levels()
         z = st.scale * r if st.scale is not None else r
+        zc = cols_of(z)
+        zero = tuple(jnp.zeros_like(c) for c in zc)
 
         if self.napplysweeps == SEQUENTIAL:
-            y = exact_block_lower_solve(A, st.ilu, z, st.low_level, nlow)
-            zout = exact_block_upper_solve(A, st.ilu, st.ilu_dinv, y,
-                                           st.up_level, nup)
+            y = level_loop(
+                nlow, st.low_level,
+                lambda y: stack_cols(soa_unit_lower_sweep(
+                    st.ilu, offsets, lower, zc, cols_of(y), bs)),
+                jnp.zeros_like(z))
+            yc = cols_of(y)
+            zout = level_loop(
+                nup, st.up_level,
+                lambda zz: stack_cols(soa_upper_solve_sweep(
+                    st.ilu, st.ilu_dinv, offsets, upper, yc, cols_of(zz), bs)),
+                jnp.zeros_like(z))
         else:
-            y0 = jnp.zeros_like(z)
-            y = run_sweeps(self.napplysweeps,
-                           lambda y: block_unit_lower_sweep(A, st.ilu, z, y),
-                           y0)
-            z0 = y if self.apply_init == ApplyInit.JACOBI else jnp.zeros_like(z)
-            zout = run_sweeps(self.napplysweeps,
-                              lambda zz: block_upper_solve_sweep(
-                                  A, st.ilu, st.ilu_dinv, y, zz), z0)
+            yc = jax.lax.fori_loop(
+                0, self.napplysweeps,
+                lambda i, y: soa_unit_lower_sweep(st.ilu, offsets, lower,
+                                                  zc, y, bs),
+                zero)
+            z0 = yc if self.apply_init == ApplyInit.JACOBI else zero
+            zc_out = jax.lax.fori_loop(
+                0, self.napplysweeps,
+                lambda i, zz: soa_upper_solve_sweep(st.ilu, st.ilu_dinv,
+                                                    offsets, upper, yc, zz, bs),
+                z0)
+            zout = stack_cols(zc_out)
 
         return st.scale * zout if st.scale is not None else zout
 

@@ -69,22 +69,35 @@ def block_diagonal_dominance(A: PaddedBSR, vals_pad: jax.Array) -> tuple:
     return (jnp.mean(ldd), jnp.min(ldd), jnp.mean(udd), jnp.min(udd))
 
 
-def bdia_block_diagonal_dominance(A, ilu: jax.Array) -> tuple:
+def bdia_block_diagonal_dominance(A, ilu) -> tuple:
     """Block diagonal dominance on block-DIA factor storage
     (same quantities as :func:`block_diagonal_dominance`; reference:
-    matrix_properties.cpp:19-75).  ``ilu`` is ``(k, nbrows, bs, bs)``;
-    masked slots are structurally zero and contribute nothing."""
+    matrix_properties.cpp:19-75).  ``ilu`` is the SoA component layout
+    (k × bs² × (nbrows,)); masked slots are structurally zero and
+    contribute nothing."""
     bs = A.bs
     low = [d for d, o in enumerate(A.offsets) if o < 0]
     up = [d for d, o in enumerate(A.offsets) if o > 0]
     d0 = A.offsets.index(0)
-    zero = jnp.zeros((A.nbrows, bs), ilu.dtype)
-    lsum = sum((jnp.abs(ilu[d]).sum(axis=2) for d in low), zero)
-    usum = sum((jnp.abs(ilu[d]).sum(axis=2) for d in up), zero)
-    dblk = ilu[d0]
-    eye = jnp.eye(bs, dtype=bool)
-    usum = usum + jnp.where(eye, 0.0, jnp.abs(dblk)).sum(axis=2)
-    ddiag = jnp.abs(jnp.diagonal(dblk, axis1=1, axis2=2))
-    ldd = 1.0 - lsum
-    udd = 1.0 - usum / ddiag
+    dt = ilu[0][0].dtype
+    zero = jnp.zeros((A.nbrows,), dt)
+
+    def row_sums(diags, skip_diag_entry=False):
+        # per scalar-row |·| sums: for block-row component i, sum over j
+        out = []
+        for i in range(bs):
+            acc = zero
+            for d in diags:
+                for j in range(bs):
+                    if skip_diag_entry and d == d0 and i == j:
+                        continue
+                    acc = acc + jnp.abs(ilu[d][i * bs + j])
+            out.append(acc)
+        return out
+
+    lsum = row_sums(low)
+    usum = row_sums(up + [d0], skip_diag_entry=True)
+    ddiag = [jnp.abs(ilu[d0][i * bs + i]) for i in range(bs)]
+    ldd = jnp.stack([1.0 - s for s in lsum], axis=1)
+    udd = jnp.stack([1.0 - u / d for u, d in zip(usum, ddiag)], axis=1)
     return (jnp.mean(ldd), jnp.min(ldd), jnp.mean(udd), jnp.min(udd))

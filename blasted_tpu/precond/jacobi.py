@@ -68,9 +68,7 @@ class _DiagStateMixin:
         return ()
 
     def compute_state_with(self, mat, setup):
-        vp = mat.vals_pad
-        ndim = vp[0].ndim + 1 if isinstance(vp, tuple) else vp.ndim
-        if ndim > 2:                   # block form
+        if hasattr(mat, "diag_blocks"):   # block form (PaddedBSR / block-DIA)
             return _DiagState(dinv=invert_diag_blocks(mat.diag_blocks)), None
         return _DiagState(dinv=1.0 / mat.diag_vals), None
 

@@ -159,9 +159,10 @@ def gcr(amat: Callable, prec: Callable, b: jax.Array, x0: jax.Array,
     (reference: tests/solvers.cpp GCR::solve, :252-352).
 
     The Krylov bases P, Q live as fixed-shape ``(nrestart, n)`` arrays;
-    orthogonalisation against directions ≤ k is a masked matmul — TPU-friendly
-    (the reference's 'optimize this with a multi-dot' comment, solvers.cpp:320,
-    is realised here: the β projections are a single matrix-vector product).
+    orthogonalisation against directions ≤ k is a bounded dynamic loop over
+    the k+1 built rows (the reference's 'optimize this with a multi-dot'
+    comment, solvers.cpp:320 — here the projections touch O(k·n) bytes per
+    iteration instead of the masked-dense form's O(m·n)).
     """
     n = b.shape[0]
     dt = b.dtype
@@ -211,12 +212,20 @@ def gcr(amat: Callable, prec: Callable, b: jax.Array, x0: jax.Array,
         def extend(_):
             z = prec(res)
             qn = amat(z)
-            # β_l = −(q_new·q_l)/(q_l·q_l) for l ≤ k, masked matmul
-            qq = jnp.sum(s.Q * s.Q, axis=1)
-            mask = jnp.arange(nrestart) <= s.k
-            beta = jnp.where(mask, -(s.Q @ qn) / jnp.where(qq == 0, 1.0, qq), 0.0)
-            pn = z + beta @ s.P
-            qn = qn + beta @ s.Q
+            # β_l = −(q_new·q_l)/(q_l·q_l) for l ≤ k: a bounded dynamic loop
+            # that reads only the k+1 built rows of P and Q (the previous
+            # masked-dense matmul form read all nrestart rows every
+            # iteration — O(m·n) traffic regardless of k); β is computed
+            # from the unmodified q_new, so the math is unchanged
+            def proj(l, c):
+                pn, dq = c
+                ql = s.Q[l]
+                beta = -dot(ql, qn) / _nz(dot(ql, ql))
+                return pn + beta * s.P[l], dq + beta * ql
+
+            pn, dq = jax.lax.fori_loop(0, s.k + 1, proj,
+                                       (z, jnp.zeros_like(z)))
+            qn = qn + dq
             return (s.P.at[s.k + 1].set(pn), s.Q.at[s.k + 1].set(qn),
                     s.k + 1)
 
@@ -285,10 +294,20 @@ def gmres(amat: Callable, prec: Callable, b: jax.Array, x0: jax.Array,
             # masked no-op once converged within the cycle
             def live(s):
                 w = amat(prec(s.V[j]))
-                # modified Gram-Schmidt against all basis vectors (masked > j)
-                mask = (jnp.arange(m + 1) <= j)[:, None]
-                h = jnp.sum(jnp.where(mask, s.V, 0.0) * w[None, :], axis=1)
-                w = w - h @ jnp.where(mask, s.V, 0.0)
+                # true modified Gram-Schmidt over the j+1 built basis rows —
+                # a bounded dynamic loop reading only those rows (the
+                # previous masked-dense form read the whole (m+1, n) basis
+                # twice per iteration regardless of j), and w is updated
+                # between projections (better orthogonality than the
+                # classical all-at-once projection)
+                def mgs(i, c):
+                    wi, h = c
+                    vi = s.V[i]
+                    hi = dot(vi, wi)
+                    return wi - hi * vi, h.at[i].set(hi)
+
+                w, h = jax.lax.fori_loop(
+                    0, j + 1, mgs, (w, jnp.zeros((m + 1,), dt)))
                 hnext = norm2(w)
                 V = s.V.at[j + 1].set(w / jnp.maximum(hnext, eps))
                 # apply previous Givens rotations to the new column
@@ -297,12 +316,7 @@ def gmres(amat: Callable, prec: Callable, b: jax.Array, x0: jax.Array,
                     hip = -s.sn[i] * hc[i] + s.cs[i] * hc[i + 1]
                     return hc.at[i].set(hi).at[i + 1].set(hip)
 
-                hcol = jnp.zeros((m + 1,), dt)
-                hcol = jax.lax.fori_loop(
-                    0, m + 1,
-                    lambda i, hc: hc.at[i].set(jnp.where(i <= j, h[i], 0.0)),
-                    hcol)
-                hcol = hcol.at[j + 1].set(hnext)
+                hcol = h.at[j + 1].set(hnext)
                 hcol = jax.lax.fori_loop(0, j, rot, hcol)
                 # new rotation annihilating hcol[j+1]
                 denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
@@ -342,7 +356,10 @@ def gmres(amat: Callable, prec: Callable, b: jax.Array, x0: jax.Array,
         y = jax.lax.fori_loop(0, m, lambda i_rev, y:
                               jax.lax.cond(i_rev < k, lambda yy: back(i_rev, yy),
                                            lambda yy: yy, y), y)
-        dx = prec(y @ s.V[:m])
+        # combine only the k built basis rows (y is zero past k)
+        xsum = jax.lax.fori_loop(0, k, lambda i, v: v + y[i] * s.V[i],
+                                 jnp.zeros((n,), dt))
+        dx = prec(xsum)
         return x + dx, k, jnp.abs(s.g[k]), s.brk
 
     def cond(o):

@@ -3,13 +3,27 @@
 The block analogue of :mod:`blasted_tpu.sparse.dia` for the reference's
 point-block focus (bs = 4, 5, arbitrary — structured-grid CFD Jacobians,
 reference: include/blockmatrices.hpp, arXiv:1912.00539): block-column offsets
-collapse to a static set, values live as ``data[d, i] ∈ R^{bs×bs}``, and
-every kernel is a *shifted batched matmul* on the MXU —
+collapse to a static set and every kernel is a *shifted block product* —
 
     y[i] = Σ_d data[d, i] @ x[i + off_d]     (no gathers, no scatters).
 
-A structural ``mask[d, i]`` keeps band-fill out of the ILU/GS pattern exactly
+A structural ``mask[d][i]`` keeps band-fill out of the ILU/GS pattern exactly
 as in the scalar DIA form.
+
+Layout — structure-of-arrays component streams.  ``data`` is a tuple over
+the k diagonals of *flat row-major component tuples*: ``data[d][i*bs + j]``
+is the (nbrows,) stream of block entry (i, j) on diagonal d.  Two measured
+reasons (real v5e, nb=262k, bs=4):
+
+* a stacked ``(k, nb, bs, bs)`` array forces every per-diagonal read through
+  a sublane-strided layout (cf. sparse/dia.py): the 7-diagonal block SpMV
+  runs 0.559 ms stacked vs **0.162 ms** as component streams (775 GB/s);
+* the ``(nb,4,4)`` batched einsum/`jnp.linalg.inv` forms burn ~97 % of the
+  MXU tile on padding (3.65 ms / 308 ms vs 0.018 ms / 0.17 ms as unrolled
+  lane-parallel FMAs over streams — see precond/bdia_ilu0.py).
+
+Block vectors stay ``(nbrows, bs)`` at API boundaries; kernels split them
+into bs column streams and stack once at the end (ops/bdia.py).
 """
 
 from __future__ import annotations
@@ -22,7 +36,34 @@ import numpy as np
 
 from .bsr import BSRMatrix
 
-__all__ = ["BlockDiaMatrix", "bdia_from_bsr", "try_bdia_from_bsr"]
+__all__ = ["BlockDiaMatrix", "bdia_from_bsr", "try_bdia_from_bsr",
+           "soa_block", "aos_block", "as_bdia_soa"]
+
+
+def soa_block(stacked: jax.Array) -> tuple:
+    """(nb, bs, bs) → flat row-major tuple of bs² (nb,) component streams."""
+    bs = stacked.shape[-1]
+    return tuple(stacked[:, i, j] for i in range(bs) for j in range(bs))
+
+
+def aos_block(comp, bs: int) -> jax.Array:
+    """Flat component tuple → materialised (nb, bs, bs) array."""
+    return jnp.stack(list(comp), axis=0).reshape(bs, bs, -1).transpose(2, 0, 1)
+
+
+def as_bdia_soa(data, k: int, bs: int) -> tuple:
+    """Normalise a block-diagonal value operand to the SoA nested-tuple form.
+    Accepts the SoA form itself, a stacked ``(k, nb, bs, bs)`` array, or an
+    ``(k, bs², nb)`` component-major array (``np.asarray`` of the SoA form)."""
+    if isinstance(data, (tuple, list)):
+        return tuple(tuple(c for c in comp) for comp in data)
+    data = jnp.asarray(data)
+    if data.ndim == 4:
+        return tuple(soa_block(data[d]) for d in range(k))
+    if data.ndim == 3 and data.shape[1] == bs * bs:
+        return tuple(tuple(data[d, c] for c in range(bs * bs))
+                     for d in range(k))
+    raise ValueError(f"cannot interpret block-DIA values of shape {data.shape}")
 
 
 @jax.tree_util.register_dataclass
@@ -30,17 +71,17 @@ __all__ = ["BlockDiaMatrix", "bdia_from_bsr", "try_bdia_from_bsr"]
 class BlockDiaMatrix:
     """Block-diagonal-format sparse matrix with a structural mask."""
 
-    data: jax.Array                # (k, nbrows, bs, bs)
-    mask: jax.Array                # (k, nbrows) bool
+    data: tuple                    # k × (bs² × (nbrows,)) component streams
+    mask: tuple                    # k × (nbrows,) bool
     offsets: tuple = field(metadata=dict(static=True))
 
     @property
     def nbrows(self) -> int:
-        return self.data.shape[1]
+        return self.data[0][0].shape[0]
 
     @property
     def bs(self) -> int:
-        return self.data.shape[-1]
+        return int(round(len(self.data[0]) ** 0.5))
 
     @property
     def nrows(self) -> int:
@@ -48,47 +89,51 @@ class BlockDiaMatrix:
 
     @property
     def ndiags(self) -> int:
-        return self.data.shape[0]
+        return len(self.data)
 
     @property
     def dtype(self):
-        return self.data.dtype
+        return self.data[0][0].dtype
 
     @property
     def diag_blocks(self) -> jax.Array:
-        return self.data[self.offsets.index(0)]
+        """Materialised (nbrows, bs, bs) diagonal blocks (setup-time use)."""
+        return aos_block(self.data[self.offsets.index(0)], self.bs)
+
+    def block(self, d: int) -> jax.Array:
+        """Materialised (nbrows, bs, bs) blocks of diagonal ``d``."""
+        return aos_block(self.data[d], self.bs)
 
     @property
-    def vals_pad(self) -> jax.Array:
-        """Kernel value operand (diag-major here; see DiaMatrix.vals_pad)."""
+    def vals_pad(self) -> tuple:
+        """Kernel value operand (SoA streams here; see DiaMatrix.vals_pad)."""
         return self.data
 
-    def with_new_data(self, data: jax.Array) -> "BlockDiaMatrix":
-        """Same band structure, new ``(k, nbrows, bs, bs)`` values (masked to
-        the structural pattern) — the value-update path (see
-        :meth:`DiaMatrix.with_new_data`)."""
-        data = jnp.where(self.mask[:, :, None, None], jnp.asarray(data), 0.0)
+    def with_new_data(self, data) -> "BlockDiaMatrix":
+        """Same band structure, new values (masked to the structural
+        pattern) — the value-update path (see :meth:`DiaMatrix.with_new_data`).
+        Accepts the SoA form or a stacked ``(k, nbrows, bs, bs)`` array."""
+        data = as_bdia_soa(data, self.ndiags, self.bs)
+        data = tuple(
+            tuple(jnp.where(m, jnp.asarray(c), 0.0) for c in comp)
+            for m, comp in zip(self.mask, data))
         return BlockDiaMatrix(data=data, mask=self.mask, offsets=self.offsets)
 
     def to_scipy(self):
-        return _to_scipy_coo(self.offsets, np.asarray(self.data),
-                             np.asarray(self.mask), self.nbrows, self.bs)
+        import scipy.sparse as sps
 
-
-def _to_scipy_coo(offsets, data, mask, nb, bs):
-    import scipy.sparse as sps
-
-    rows, cols, vals = [], [], []
-    for d, o in enumerate(offsets):
-        i = np.nonzero(mask[d])[0]
-        for ib in range(bs):
-            for jb in range(bs):
-                rows.append(i * bs + ib)
-                cols.append((i + o) * bs + jb)
-                vals.append(data[d, i, ib, jb])
-    return sps.coo_matrix(
-        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
-        shape=(nb * bs, nb * bs)).tocsr()
+        nb, bs = self.nbrows, self.bs
+        rows, cols, vals = [], [], []
+        for d, o in enumerate(self.offsets):
+            i = np.nonzero(np.asarray(self.mask[d]))[0]
+            for ib in range(bs):
+                for jb in range(bs):
+                    rows.append(i * bs + ib)
+                    cols.append((i + o) * bs + jb)
+                    vals.append(np.asarray(self.data[d][ib * bs + jb])[i])
+        return sps.coo_matrix(
+            (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+            shape=(nb * bs, nb * bs)).tocsr()
 
 
 def block_pattern_csr(A: BlockDiaMatrix):
@@ -96,11 +141,10 @@ def block_pattern_csr(A: BlockDiaMatrix):
     scheduling and other symbolic passes."""
     import scipy.sparse as sps
 
-    mask = np.asarray(A.mask)
     nb = A.nbrows
     rows, cols = [], []
     for d, o in enumerate(A.offsets):
-        i = np.nonzero(mask[d])[0]
+        i = np.nonzero(np.asarray(A.mask[d]))[0]
         rows.append(i)
         cols.append(i + o)
     sp = sps.coo_matrix(
@@ -125,8 +169,12 @@ def bdia_from_bsr(B: BSRMatrix) -> BlockDiaMatrix:
     dsel = np.array([dmap[int(o)] for o in offs])
     data[dsel, rows] = vals
     mask[dsel, rows] = True
-    return BlockDiaMatrix(data=jnp.asarray(data), mask=jnp.asarray(mask),
-                          offsets=tuple(int(o) for o in uniq))
+    return BlockDiaMatrix(
+        data=tuple(tuple(jnp.asarray(data[d, :, i, j])
+                         for i in range(bs) for j in range(bs))
+                   for d in range(k)),
+        mask=tuple(jnp.asarray(mask[d]) for d in range(k)),
+        offsets=tuple(int(o) for o in uniq))
 
 
 def try_bdia_from_bsr(B: BSRMatrix, max_diags: int = 32) -> BlockDiaMatrix | None:
