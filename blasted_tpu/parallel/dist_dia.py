@@ -94,9 +94,11 @@ class DistDiaSolver:
         self.offsets = A.offsets
         self.halo = max((abs(o) for o in A.offsets), default=0)
         nd = int(mesh.devices.size)
+        self.n_orig = A.nrows
+        if A.nrows % nd:        # uneven partition: identity-pad (decoupled
+            from ..sparse.dia import dia_pad_identity  # rows stay zero)
+            A = dia_pad_identity(A, -(-A.nrows // nd) * nd)
         n = A.nrows
-        if n % nd:
-            raise ValueError(f"nrows {n} not divisible by {nd} devices")
         self.nl = n // nd
         if self.halo > self.nl:
             raise ValueError("band wider than a shard; use the general path")
@@ -266,11 +268,17 @@ class DistDiaSolver:
 
         solver = {"bicgstab": bicgstab, "cg": cg, "gcr": gcr, "gmres": gmres,
                   "richardson": richardson}[method]
-        b = shard_vector(self.mesh, b)
-        x0 = (shard_vector(self.mesh, x0) if x0 is not None
-              else jnp.zeros_like(b))
-        return solver(self.amat, self.prec_apply, b, x0,
-                      tol=tol, maxiter=maxiter, **kw)
+        from .dist import _zero_pad
+
+        n = self.nl * int(self.mesh.devices.size)
+        b = shard_vector(self.mesh, _zero_pad(jnp.asarray(b), n))
+        x0 = (shard_vector(self.mesh, _zero_pad(jnp.asarray(x0), n))
+              if x0 is not None else jnp.zeros_like(b))
+        x, info = solver(self.amat, self.prec_apply, b, x0,
+                         tol=tol, maxiter=maxiter, **kw)
+        if self.n_orig != n:
+            x = x[:self.n_orig]
+        return x, info
 
 
 class DistBlockDiaSolver:
@@ -292,8 +300,10 @@ class DistBlockDiaSolver:
         self.bs = B.bs
         self.halo = max((abs(o) for o in B.offsets), default=0)
         nd = int(mesh.devices.size)
-        if B.nbrows % nd:
-            raise ValueError(f"nbrows {B.nbrows} not divisible by {nd}")
+        self.nb_orig = B.nbrows
+        if B.nbrows % nd:       # uneven partition: identity-pad block rows
+            from ..sparse.bdia import bdia_pad_identity
+            B = bdia_pad_identity(B, -(-B.nbrows // nd) * nd)
         self.nl = B.nbrows // nd
         if self.halo > self.nl:
             raise ValueError("band wider than a shard; use the general path")
@@ -506,11 +516,16 @@ class DistBlockDiaSolver:
 
         solver = {"bicgstab": bicgstab, "cg": cg, "gcr": gcr, "gmres": gmres,
                   "richardson": richardson}[method]
+        from .dist import _zero_pad
+
         bs = self.bs
-        bseg = jax.device_put(jnp.asarray(np.asarray(b)).reshape(-1, bs),
-                              NamedSharding(self.mesh, P(self._ax, None)))
-        x0s = (jax.device_put(jnp.asarray(np.asarray(x0)).reshape(-1, bs),
-                              NamedSharding(self.mesh, P(self._ax, None)))
+        n = self.nl * bs * int(self.mesh.devices.size)
+        sh = NamedSharding(self.mesh, P(self._ax, None))
+        bseg = jax.device_put(
+            _zero_pad(jnp.asarray(np.asarray(b)), n).reshape(-1, bs), sh)
+        x0s = (jax.device_put(
+                   _zero_pad(jnp.asarray(np.asarray(x0)), n).reshape(-1, bs),
+                   sh)
                if x0 is not None else jnp.zeros_like(bseg))
 
         def amat_flat(x):
@@ -521,4 +536,6 @@ class DistBlockDiaSolver:
 
         x, info = solver(amat_flat, prec_flat, bseg.reshape(-1),
                          x0s.reshape(-1), tol=tol, maxiter=maxiter, **kw)
+        if self.nb_orig * bs != n:
+            x = x[:self.nb_orig * bs]
         return x, info

@@ -71,14 +71,22 @@ class DistMGSolver:
         nshards = mesh.devices.size
         g = self.settings.group
 
-        # host-side hierarchy (scipy Galerkin chain), divisibility-gated:
-        # every smoothed level must row-partition evenly over the mesh, and
-        # shard-local aggregation needs the shard size to be a multiple of
-        # the aggregate size (same fail-fast posture as partition_csr).
+        # host-side hierarchy (scipy Galerkin chain).  Uneven sizes are
+        # identity-padded up to a multiple of nshards·group so the fine
+        # level both row-partitions evenly and aggregates shard-locally
+        # (decoupled identity rows perturb nothing: their residuals enter
+        # the cycle as zeros and the padded system's solution is the
+        # original one extended by zeros — cf. partition.pad_csr_identity).
         A_sp = A.to_scipy().tocsr()
-        if A_sp.shape[0] % nshards:
-            raise ValueError(f"nrows {A_sp.shape[0]} not divisible by "
-                             f"nshards {nshards}")
+        self.n_orig = A_sp.shape[0]
+        q = nshards * g
+        n_pad = -(-self.n_orig // q) * q
+        if n_pad != self.n_orig:
+            import scipy.sparse as sps
+            A_sp = sps.block_diag(
+                [A_sp, sps.identity(n_pad - self.n_orig, dtype=A_sp.dtype,
+                                    format="csr")], format="csr")
+            A_sp.sort_indices()
         chain = [A_sp]
         while (chain[-1].shape[0] > self.settings.coarse_size
                and len(chain) < self.settings.max_levels):
@@ -145,8 +153,14 @@ class DistMGSolver:
 
         solver = {"bicgstab": bicgstab, "cg": cg, "gcr": gcr,
                   "richardson": richardson}[method]
-        b = shard_vector(self.mesh, b)
-        x0 = (shard_vector(self.mesh, x0) if x0 is not None
-              else jnp.zeros_like(b))
-        return solver(self.amat, self.prec_apply, b, x0,
-                      tol=tol, maxiter=maxiter, **kw)
+        from .dist import _zero_pad
+
+        n = self.levels[0].n if self.levels else self._A_coarse.shape[0]
+        b = shard_vector(self.mesh, _zero_pad(jnp.asarray(b), n))
+        x0 = (shard_vector(self.mesh, _zero_pad(jnp.asarray(x0), n))
+              if x0 is not None else jnp.zeros_like(b))
+        x, info = solver(self.amat, self.prec_apply, b, x0,
+                         tol=tol, maxiter=maxiter, **kw)
+        if self.n_orig != n:
+            x = x[:self.n_orig]
+        return x, info

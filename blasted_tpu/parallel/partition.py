@@ -30,7 +30,56 @@ from ..sparse.bsr import BSRMatrix, PaddedBSR
 from ..sparse.csr import CSRMatrix, PaddedCSR
 
 __all__ = ["DistCSR", "DistBSR", "partition_csr", "partition_bsr",
-           "build_ghost_plan"]
+           "build_ghost_plan", "pad_csr_identity", "pad_bsr_identity"]
+
+
+def _ceil_to(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def pad_csr_identity(A: CSRMatrix, n_pad: int) -> CSRMatrix:
+    """Append ``n_pad − nrows`` decoupled identity rows.
+
+    Uneven row partitions are handled by padding the global system to the
+    next multiple of the shard count: identity rows with zero RHS stay
+    exactly zero through any Krylov iteration (their residual, preconditioned
+    residual, and search-direction entries are all 0), so the padded solve is
+    bitwise the original one on the first ``nrows`` entries.  The reference's
+    distributed contract partitions arbitrary sizes (PETSc row partition;
+    its MPI tests run ``mpirun -n 3`` on 2dcyl1's 1784 block rows —
+    reference: tests/CMakeLists.txt:213-228, blasted_petsc.cpp:229-298)."""
+    n = A.nrows
+    if n_pad == n:
+        return A
+    import scipy.sparse as sps
+
+    sp = A.to_scipy()
+    out = sps.block_diag(
+        [sp, sps.identity(n_pad - n, dtype=sp.dtype, format="csr")],
+        format="csr")
+    out.sort_indices()
+    return CSRMatrix.from_scipy(out)
+
+
+def pad_bsr_identity(B: BSRMatrix, nb_pad: int) -> BSRMatrix:
+    """Append decoupled identity block-rows (see :func:`pad_csr_identity`)."""
+    nb = B.nbrows
+    if nb_pad == nb:
+        return B
+    bs = B.bs
+    extra = nb_pad - nb
+    rowptr = np.asarray(B.rowptr)
+    colind = np.asarray(B.colind)
+    vals = np.asarray(B.vals)
+    rp = np.concatenate([rowptr,
+                         rowptr[-1] + np.arange(1, extra + 1,
+                                                dtype=rowptr.dtype)])
+    ci = np.concatenate([colind,
+                         np.arange(nb, nb_pad, dtype=colind.dtype)])
+    ident = np.broadcast_to(np.eye(bs, dtype=vals.dtype),
+                            (extra, bs, bs))
+    vv = np.concatenate([vals, ident])
+    return BSRMatrix.from_arrays(rp, ci, vv, bs)
 
 
 def build_ghost_plan(cols_pad: np.ndarray, n_units: int, nshards: int):
@@ -40,58 +89,89 @@ def build_ghost_plan(cols_pad: np.ndarray, n_units: int, nshards: int):
     blasted_petsc.cpp:229-298): each shard receives only the off-shard x
     entries its rows actually reference, instead of an all-gather of x.
 
+    The exchange is organised by shard *distance* ``delta = src − dst``:
+    each distinct delta with any coupling becomes one ``ppermute`` of width
+    ``T_delta = max over (src,dst) pairs at that distance`` — so a
+    ring-coupled matrix pays exactly its two neighbour halos and one dense
+    pair inflates only its own distance class, not every pair (the round-3
+    all-pairs ``all_to_all`` shipped ``nshards·max_T`` per device).
+
     ``cols_pad``: (n_units, W) global padded column indices, sentinel
-    ``n_units``.  Returns ``(ghost_colind, sendidx, T)`` or ``None`` when the
-    plan saves nothing (dense coupling):
+    ``n_units``.  Returns ``(ghost_colind, deltas, send_parts)`` or ``None``
+    when the plan saves nothing over the all_gather (dense coupling):
 
     - ``ghost_colind`` (n_units, W) int32 — columns remapped to each owning
-      shard's local frame: [0, nl) local entries, nl + src*T + slot for the
-      ghost received from shard ``src``, sentinel nl + nshards*T (a zero);
-    - ``sendidx`` (nshards, nshards, T) int32 — for source shard ``src``,
-      row ``dst`` lists the local indices ``dst`` needs (0-padded; padding
-      slots are sent but never referenced);
-    - ``T`` — the per-(src,dst) halo width (max needed count, ≥ 1).
+      shard's local frame: [0, nl) local entries; ``nl + base_d + slot`` for
+      the ghost received at distance ``deltas[d]`` (``base_d = Σ T_{d'<d}``);
+      sentinel ``nl + ΣT`` (a zero);
+    - ``deltas`` — static tuple of the coupled shard distances (≠ 0);
+    - ``send_parts`` — per delta, (nshards, T_delta) int32: row ``src``
+      lists the local indices ``src`` sends to ``dst = src − delta``
+      (sorted, 0-padded; padding slots are sent but never referenced).
 
-    Per-device exchange volume becomes nshards·T values — proportional to
-    the halo, not to n.
+    Per-device exchange volume is ``Σ_delta T_delta`` values — the actual
+    ghost count on uniform-halo problems, not ``nshards · max``.
+
+    The builder is fully vectorised (sort/searchsorted over the flattened
+    index array; no per-pair Python loops over matrix data).
     """
     nl = n_units // nshards
-    need = {}                     # (src, dst) -> sorted local indices on src
-    T = 1
-    for dst in range(nshards):
-        block = cols_pad[dst * nl:(dst + 1) * nl]
-        off = np.unique(block[(block < n_units)
-                              & ((block < dst * nl) | (block >= (dst + 1) * nl))])
-        owners = off // nl
-        for src in np.unique(owners):
-            loc = off[owners == src] - src * nl
-            need[(int(src), dst)] = loc
-            T = max(T, len(loc))
-    if nshards * T >= n_units:    # no traffic saving over all_gather
+    W = cols_pad.shape[1]
+    cols = cols_pad.reshape(-1).astype(np.int64)
+    dst = np.repeat(np.arange(n_units, dtype=np.int64) // nl, W)
+    valid = cols < n_units
+    src = np.minimum(cols, n_units - 1) // nl
+    off = valid & (src != dst)
+
+    key = dst[off] * n_units + cols[off]          # unique (dst, global col)
+    ukey = np.unique(key)
+    udst = ukey // n_units
+    ucol = ukey % n_units
+    usrc = ucol // nl
+    uloc = ucol - usrc * nl
+    udelta = usrc - udst
+    deltas = np.unique(udelta)
+    ndelta = len(deltas)
+    if ndelta == 0:
+        # block-diagonal coupling: purely local, no exchange at all
+        ghost = np.full_like(cols, nl, dtype=np.int64)
+        local = valid & (src == dst)
+        ghost[local] = cols[local] - dst[local] * nl
+        return (ghost.reshape(cols_pad.shape).astype(np.int32), (), ())
+
+    di = np.searchsorted(deltas, udelta)          # delta index per entry
+    gk = di * nshards + udst                      # (delta, dst) pair key
+    order = np.lexsort((ucol, gk))
+    gks = gk[order]
+    uniq_gk, starts = np.unique(gks, return_index=True)
+    cnts = np.diff(np.append(starts, len(gks)))
+    Td = np.zeros(ndelta, dtype=np.int64)
+    np.maximum.at(Td, uniq_gk // nshards, cnts)
+    total_T = int(Td.sum())
+    if total_T >= n_units - nl:   # all_gather already moves only n − nl
         return None
+    base = np.concatenate([[0], np.cumsum(Td)[:-1]])
 
-    sendidx = np.zeros((nshards, nshards, T), dtype=np.int32)
-    for (src, dst), loc in need.items():
-        sendidx[src, dst, :len(loc)] = loc
+    # receiver-frame slot per unique (dst, col): nl + base[delta] + rank
+    rank = np.arange(len(gks)) - np.repeat(starts, cnts)
+    slot_sorted = nl + base[gks // nshards] + rank
+    slot = np.empty(len(ukey), dtype=np.int64)
+    slot[order] = slot_sorted
 
-    ghost = np.full_like(cols_pad, nl + nshards * T)      # sentinel slot
-    for dst in range(nshards):
-        sl = slice(dst * nl, (dst + 1) * nl)
-        block = cols_pad[sl]
-        local = (block >= dst * nl) & (block < (dst + 1) * nl)
-        out = ghost[sl]
-        out[local] = block[local] - dst * nl
-        stored = (block < n_units) & ~local
-        owners = block[stored] // nl
-        gcols = np.empty(stored.sum(), dtype=np.int64)
-        for src in np.unique(owners):
-            m = owners == src
-            loc = need[(int(src), dst)]
-            gcols[m] = nl + src * T + np.searchsorted(
-                loc, block[stored][m] - src * nl)
-        out[stored] = gcols
-        ghost[sl] = out
-    return ghost.astype(np.int32), sendidx, int(T)
+    ghost = np.full_like(cols, nl + total_T, dtype=np.int64)   # sentinel
+    local = valid & (src == dst)
+    ghost[local] = cols[local] - dst[local] * nl
+    ghost[off] = slot[np.searchsorted(ukey, key)]
+
+    oloc, odst, orank = uloc[order], udst[order], rank
+    send_parts = []
+    for d_i, dv in enumerate(deltas):
+        sp = np.zeros((nshards, int(Td[d_i])), dtype=np.int32)
+        sel = (gks // nshards) == d_i
+        sp[odst[sel] + dv, orank[sel]] = oloc[sel]
+        send_parts.append(sp)
+    return (ghost.reshape(cols_pad.shape).astype(np.int32),
+            tuple(int(d) for d in deltas), tuple(send_parts))
 
 
 @jax.tree_util.register_dataclass
@@ -113,8 +193,11 @@ class DistCSR:
     nshards: int = field(metadata=dict(static=True))
     # ghost-exchange plan (see build_ghost_plan); None → all_gather fallback
     ghost_colind: jax.Array | None = None    # (n, W) local-frame cols
-    sendidx: jax.Array | None = None         # (nshards, nshards, T)
-    ghost_width: int = field(default=0, metadata=dict(static=True))
+    # per shard-distance send lists: tuple of (nshards, T_delta) int32
+    send_parts: tuple = ()
+    ghost_deltas: tuple = field(default=(), metadata=dict(static=True))
+    # original (pre-identity-padding) row count; 0 means "== nrows"
+    nrows_orig: int = field(default=0, metadata=dict(static=True))
 
     @property
     def nrows(self) -> int:
@@ -138,9 +221,9 @@ def _pad_local_block(A: CSRMatrix, lo: int, hi: int, width: int):
 
 
 def partition_csr(A: CSRMatrix, nshards: int) -> DistCSR:
+    n_orig = A.nrows
+    A = pad_csr_identity(A, _ceil_to(n_orig, nshards))
     n = A.nrows
-    if n % nshards:
-        raise ValueError(f"nrows {n} not divisible by nshards {nshards}")
     nl = n // nshards
     P = A.pad()
 
@@ -159,11 +242,13 @@ def partition_csr(A: CSRMatrix, nshards: int) -> DistCSR:
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *locals_)
 
     plan = build_ghost_plan(np.asarray(P.colind), n, nshards)
-    gci, sidx, T = (None, None, 0) if plan is None else \
-        (jnp.asarray(plan[0]), jnp.asarray(plan[1]), plan[2])
+    gci, deltas, sparts = (None, (), ()) if plan is None else \
+        (jnp.asarray(plan[0]), plan[1],
+         tuple(jnp.asarray(s) for s in plan[2]))
     return DistCSR(colind=P.colind, vals_pad=P.vals_pad,
                    local=stacked, nshards=nshards,
-                   ghost_colind=gci, sendidx=sidx, ghost_width=T)
+                   ghost_colind=gci, send_parts=sparts, ghost_deltas=deltas,
+                   nrows_orig=n_orig)
 
 
 @jax.tree_util.register_dataclass
@@ -181,8 +266,10 @@ class DistBSR:
     nshards: int = field(metadata=dict(static=True))
     # ghost-exchange plan at block granularity (see build_ghost_plan)
     ghost_colind: jax.Array | None = None
-    sendidx: jax.Array | None = None
-    ghost_width: int = field(default=0, metadata=dict(static=True))
+    send_parts: tuple = ()
+    ghost_deltas: tuple = field(default=(), metadata=dict(static=True))
+    # original (pre-identity-padding) block-row count; 0 means "== nbrows"
+    nrows_orig: int = field(default=0, metadata=dict(static=True))
 
     @property
     def nbrows(self) -> int:
@@ -197,9 +284,9 @@ def partition_bsr(B: BSRMatrix, nshards: int) -> DistBSR:
     """Block-row partition with per-shard diagonal blocks — the distributed
     unstructured-BSR path (reference: PETSc partitions BAIJ row-wise and each
     rank preconditions its diagonal block, blasted_petsc.cpp:281-298)."""
+    nb_orig = B.nbrows
+    B = pad_bsr_identity(B, _ceil_to(nb_orig, nshards))
     nb = B.nbrows
-    if nb % nshards:
-        raise ValueError(f"nbrows {nb} not divisible by nshards {nshards}")
     nl = nb // nshards
     P = B.pad()
 
@@ -230,8 +317,10 @@ def partition_bsr(B: BSRMatrix, nshards: int) -> DistBSR:
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *locals_)
 
     plan = build_ghost_plan(np.asarray(P.colind), nb, nshards)
-    gci, sidx, T = (None, None, 0) if plan is None else \
-        (jnp.asarray(plan[0]), jnp.asarray(plan[1]), plan[2])
+    gci, deltas, sparts = (None, (), ()) if plan is None else \
+        (jnp.asarray(plan[0]), plan[1],
+         tuple(jnp.asarray(s) for s in plan[2]))
     return DistBSR(colind=P.colind, vals_pad=P.vals_pad,
                    local=stacked, nshards=nshards,
-                   ghost_colind=gci, sendidx=sidx, ghost_width=T)
+                   ghost_colind=gci, send_parts=sparts, ghost_deltas=deltas,
+                   nrows_orig=nb_orig)

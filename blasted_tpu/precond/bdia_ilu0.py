@@ -128,6 +128,8 @@ def bdia_factor_sweeps_soa(offsets, pairs, d0, mask, base, ilu0,
     ``nlev × fact_inner`` steps commits only the rows of the active
     wavefront, reproducing the sequential factorization."""
     bs = int(round(len(base[0]) ** 0.5))
+    assert bs * bs == len(base[0]), \
+        f"non-square component tuple: {len(base[0])} streams"
     base_t = tuple(tuple(jnp.where(m, c, 0.0) for c in comp)
                    for m, comp in zip(mask, base))
     ilu_t = tuple(tuple(comp) for comp in ilu0)

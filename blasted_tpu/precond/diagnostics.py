@@ -99,5 +99,6 @@ def bdia_block_diagonal_dominance(A, ilu) -> tuple:
     usum = row_sums(up + [d0], skip_diag_entry=True)
     ddiag = [jnp.abs(ilu[d0][i * bs + i]) for i in range(bs)]
     ldd = jnp.stack([1.0 - s for s in lsum], axis=1)
-    udd = jnp.stack([1.0 - u / d for u, d in zip(usum, ddiag)], axis=1)
+    udd = jnp.stack([1.0 - u / jnp.where(d == 0, 1.0, d)
+                     for u, d in zip(usum, ddiag)], axis=1)
     return (jnp.mean(ldd), jnp.min(ldd), jnp.mean(udd), jnp.min(udd))

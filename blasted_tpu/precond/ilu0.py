@@ -214,16 +214,16 @@ class _ILUShardSetup(NamedTuple):
     up_level: jax.Array   # (nl,)
 
 
-def _build_shard_setup(precs) -> _ILUShardSetup:
-    """Pad each shard's symbolic data to common shapes and stack (host)."""
-    for p in precs:
-        if p.symbolic is None:
-            p.symbolic = _build_symbolic(p.mat)
-    nnzE = max(int(p.symbolic.colind.shape[0]) for p in precs)
-    Pmax = max(int(p.symbolic.lowerp.shape[1]) for p in precs)
+def _build_shard_setup(mats, chunk_size: int = 0):
+    """Per-shard symbolic passes over the local matrices, padded to common
+    shapes and stacked (host).  Takes the matrix pytrees directly — no
+    per-shard preconditioner objects (VERDICT r3 #8).  Returns
+    ``(setup, syms)`` so the caller can also patch shard-maxima statics."""
+    syms = [_build_symbolic(m, chunk_size=chunk_size) for m in mats]
+    nnzE = max(int(s.colind.shape[0]) for s in syms)
+    Pmax = max(int(s.lowerp.shape[1]) for s in syms)
     out = {f: [] for f in _ILUShardSetup._fields}
-    for p in precs:
-        sym = p.symbolic
+    for m, sym in zip(mats, syms):
         nnz_d = int(sym.colind.shape[0])
         P_d = int(sym.lowerp.shape[1])
         for name in ("lowerp", "upperp"):
@@ -238,15 +238,15 @@ def _build_shard_setup(precs) -> _ILUShardSetup:
         il[:nnz_d] = np.asarray(sym.is_lower)
         out["is_lower"].append(il)
         rw = np.zeros(nnzE, dtype=np.int32)
-        rw[:nnz_d] = rows_of_nnz(np.asarray(p.mat.rowptr))
+        rw[:nnz_d] = rows_of_nnz(np.asarray(m.rowptr))
         out["rows"].append(rw)
-        pos = np.asarray(p.mat.pos)
+        pos = np.asarray(m.pos)
         out["flatpos"].append(np.where(pos == nnz_d, nnzE, pos)
                               .astype(np.int32))
         out["low_level"].append(np.asarray(sym.low_level))
         out["up_level"].append(np.asarray(sym.up_level))
     return _ILUShardSetup(**{k: jnp.asarray(np.stack(v))
-                             for k, v in out.items()})
+                             for k, v in out.items()}), syms
 
 
 # ================================================================= scalar ====
@@ -396,12 +396,21 @@ class ILU0Preconditioner(Preconditioner):
         # not read by apply(); drop it for stacking
         return self.state._replace(ilu=jnp.zeros((0,), self.state.ilu.dtype))
 
-    def shard_setup_data(self, precs):
+    def shard_setup(self, local, nshards: int):
         if self.nbuildsweeps == SEQUENTIAL:
             # the entry-level slot schedules are ragged per shard; the exact
             # factorization stays on the per-shard host loop
             return NotImplemented
-        return _build_shard_setup(precs)
+        import copy
+
+        mats = [jax.tree_util.tree_map(lambda a, d=d: a[d], local)
+                for d in range(nshards)]
+        su, syms = _build_shard_setup(mats, self.thread_chunk_size)
+        q = copy.copy(self)
+        # wavefront trip counts widen to the shard maxima (extra levels no-op)
+        q.symbolic = syms[0]._replace(nlow=max(s.nlow for s in syms),
+                                      nup=max(s.nup for s in syms))
+        return su, q
 
     def compute_state_with(self, mat, su: _ILUShardSetup):
         """Pure sweep-ILU(0) setup from (local matrix, padded symbolic) —
@@ -624,10 +633,18 @@ class BlockILU0Preconditioner(Preconditioner):
         return self.state._replace(
             ilu=jnp.zeros((0, bs, bs), self.state.ilu.dtype))
 
-    def shard_setup_data(self, precs):
+    def shard_setup(self, local, nshards: int):
         if self.nbuildsweeps == SEQUENTIAL:
             return NotImplemented
-        return _build_shard_setup(precs)
+        import copy
+
+        mats = [jax.tree_util.tree_map(lambda a, d=d: a[d], local)
+                for d in range(nshards)]
+        su, syms = _build_shard_setup(mats, self.thread_chunk_size)
+        q = copy.copy(self)
+        q.symbolic = syms[0]._replace(nlow=max(s.nlow for s in syms),
+                                      nup=max(s.nup for s in syms))
+        return su, q
 
     def compute_state_with(self, mat, su: _ILUShardSetup):
         """Block analogue of :meth:`ILU0Preconditioner.compute_state_with`."""

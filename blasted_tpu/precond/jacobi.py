@@ -64,8 +64,8 @@ class _DiagStateMixin:
     """Single-trace distributed setup for operators whose state is the
     inverted (block) diagonal (jacobi/sgs/chaotic families)."""
 
-    def shard_setup_data(self, precs):
-        return ()
+    def shard_setup(self, local, nshards: int):
+        return (), self
 
     def compute_state_with(self, mat, setup):
         if hasattr(mat, "diag_blocks"):   # block form (PaddedBSR / block-DIA)

@@ -37,6 +37,7 @@ import numpy as np
 from .bsr import BSRMatrix
 
 __all__ = ["BlockDiaMatrix", "bdia_from_bsr", "try_bdia_from_bsr",
+           "bdia_pad_identity",
            "soa_block", "aos_block", "as_bdia_soa"]
 
 
@@ -54,7 +55,12 @@ def aos_block(comp, bs: int) -> jax.Array:
 def as_bdia_soa(data, k: int, bs: int) -> tuple:
     """Normalise a block-diagonal value operand to the SoA nested-tuple form.
     Accepts the SoA form itself, a stacked ``(k, nb, bs, bs)`` array, or an
-    ``(k, bs², nb)`` component-major array (``np.asarray`` of the SoA form)."""
+    ``(k, bs², nb)`` component-major array (``np.asarray`` of the SoA form).
+
+    A 3-D operand is ALWAYS interpreted component-major ``(k, bs², nb)`` —
+    a block-row-major ``(k, nb, bs²)`` array is not accepted (when
+    ``nb == bs²`` the two are indistinguishable by shape; pass the 4-D or
+    tuple form for that layout)."""
     if isinstance(data, (tuple, list)):
         return tuple(tuple(c for c in comp) for comp in data)
     data = jnp.asarray(data)
@@ -81,7 +87,12 @@ class BlockDiaMatrix:
 
     @property
     def bs(self) -> int:
-        return int(round(len(self.data[0]) ** 0.5))
+        bs = int(round(len(self.data[0]) ** 0.5))
+        if bs * bs != len(self.data[0]):
+            raise ValueError(
+                f"malformed component tuple: {len(self.data[0])} streams is "
+                f"not a square block size")
+        return bs
 
     @property
     def nrows(self) -> int:
@@ -134,6 +145,29 @@ class BlockDiaMatrix:
         return sps.coo_matrix(
             (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
             shape=(nb * bs, nb * bs)).tocsr()
+
+
+def bdia_pad_identity(A: BlockDiaMatrix, nb_pad: int) -> BlockDiaMatrix:
+    """Append decoupled identity block-rows (uneven-row-partition support;
+    cf. sparse.dia.dia_pad_identity)."""
+    nb = A.nbrows
+    if nb_pad == nb:
+        return A
+    bs = A.bs
+    d0 = A.offsets.index(0)
+    extra = nb_pad - nb
+
+    def ext(c, val):
+        return jnp.concatenate([c, jnp.full(extra, val, c.dtype)])
+
+    data = tuple(
+        tuple(ext(comp[i * bs + j],
+                  1.0 if (d == d0 and i == j) else 0.0)
+              for i in range(bs) for j in range(bs))
+        for d, comp in enumerate(A.data))
+    mask = tuple(jnp.concatenate([m, jnp.full(extra, d == d0)])
+                 for d, m in enumerate(A.mask))
+    return BlockDiaMatrix(data=data, mask=mask, offsets=A.offsets)
 
 
 def block_pattern_csr(A: BlockDiaMatrix):

@@ -41,7 +41,7 @@ import numpy as np
 from .csr import CSRMatrix
 
 __all__ = ["DiaMatrix", "dia_from_csr", "try_dia_from_csr", "shift_read",
-           "as_dia_tuple"]
+           "as_dia_tuple", "dia_pad_identity"]
 
 
 @jax.tree_util.register_dataclass
@@ -146,6 +146,27 @@ def try_dia_from_csr(A: CSRMatrix, max_diags: int = 64) -> DiaMatrix | None:
     if offs.shape[0] > max_diags:
         return None
     return dia_from_csr(A)
+
+
+def dia_pad_identity(A: DiaMatrix, n_pad: int) -> DiaMatrix:
+    """Append ``n_pad − nrows`` decoupled identity rows (diagonal 1, all
+    other diagonals structurally absent) — uneven-row-partition support for
+    the distributed banded path (cf. parallel.partition.pad_csr_identity;
+    reference contract: PETSc partitions arbitrary sizes,
+    tests/CMakeLists.txt:213-228)."""
+    n = A.nrows
+    if n_pad == n:
+        return A
+    d0 = A.offsets.index(0)
+    extra = n_pad - n
+    data = tuple(
+        jnp.concatenate([v, jnp.ones(extra, v.dtype) if d == d0
+                         else jnp.zeros(extra, v.dtype)])
+        for d, v in enumerate(A.data))
+    mask = tuple(
+        jnp.concatenate([m, jnp.full(extra, d == d0)])
+        for d, m in enumerate(A.mask))
+    return DiaMatrix(data=data, mask=mask, offsets=A.offsets)
 
 
 def shift_read(x: jax.Array, o: int) -> jax.Array:
