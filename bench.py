@@ -113,21 +113,24 @@ def bench_scalar():
     )
     from blasted_tpu.sparse.dia import DiaMatrix
 
-    g = int(os.environ.get("BENCH_SCALAR_G", "256"))
+    g = int(os.environ.get("BENCH_SCALAR_G", "320"))
     n = g ** 3
     offsets = (-g * g, -g, -1, 0, 1, g, g * g)
     k = len(offsets)
     isz = 4
 
-    idx = np.arange(n)
-    i0, j0, k0 = idx % g, (idx // g) % g, idx // (g * g)
-    mask_np = np.stack([k0 > 0, j0 > 0, i0 > 0, np.ones(n, bool),
-                        i0 < g - 1, j0 < g - 1, k0 < g - 1])
-    mask = tuple(jnp.asarray(mask_np[d]) for d in range(k))
-    nnz = int(mask_np.sum())
+    # nnz count on host (cheap closed form); masks are generated ON DEVICE —
+    # at g=320 the seven (n,) bool masks are 230 MB, ~4+ min through the
+    # 1 MB/s tunnel if uploaded
+    nnz = n + 2 * (g - 1) * g * g * 3
 
     @jax.jit
-    def gen(key, m):
+    def gen(key):
+        idx = jnp.arange(n, dtype=jnp.int32)
+        i0, j0, k0 = idx % g, (idx // g) % g, idx // (g * g)
+        ones = jnp.ones(n, bool)
+        m = (k0 > 0, j0 > 0, i0 > 0, ones,
+             i0 < g - 1, j0 < g - 1, k0 < g - 1)
         out = []
         for d in range(k):
             v = 0.25 * jax.random.normal(jax.random.fold_in(key, d), (n,),
@@ -135,9 +138,9 @@ def bench_scalar():
             if offsets[d] == 0:
                 v = v + 2.0 * k           # diagonally dominant
             out.append(jnp.where(m[d], v, 0.0))
-        return tuple(out)
+        return tuple(out), m
 
-    data = gen(jax.random.PRNGKey(0), mask)
+    data, mask = gen(jax.random.PRNGKey(0))
     D = DiaMatrix(data=data, mask=mask, offsets=offsets)
     print(f"[scalar] n={n} (g={g}) nnz={nnz} diags={k} dtype={D.dtype} "
           f"state={(k + 1) * n * isz / 1e6:.0f}MB "
@@ -198,7 +201,9 @@ def bench_scalar():
     pairs = dia_pairs(offsets)
     d0 = offsets.index(0)
 
-    mask_none = [bool(mask_np[d].all()) or offsets[d] < 0 for d in range(k)]
+    # d0's mask is all-true and o<0 diagonals need no re-mask (see
+    # dia_factor_sweep_tuple): only the upper diagonals keep their masks
+    mask_none = [o <= 0 for o in offsets]
 
     def mk_fact(iters):
         @jax.jit
@@ -253,6 +258,23 @@ def bench_scalar():
     bytes_apply = ((kl + 3) + (ku + 4)) * n * isz
     frac_apply = _record("scalar_ilu0_apply_pair", t_apply, bytes_apply,
                          stream_bw, nnz)
+
+    # ---- bf16 apply (detail only): -blasted_apply_dtype bfloat16 stores
+    # the factors half-width for the triangular sweeps — the mixed-precision
+    # knob (api.py apply_dtype; VERDICT r3 #7 on-chip evidence).  Byte model
+    # is the f32 one at 2 bytes/elem; the fraction stays normalised to the
+    # f32 stream so >0.5 means bf16 beats the f32 apply wall-clock.
+    bf = jnp.bfloat16
+    D_bf = DiaMatrix(data=tuple(v.astype(bf) for v in D.data),
+                     mask=D.mask, offsets=offsets)
+    ilu_bf = tuple(v.astype(bf) for v in ilu)
+    t_apply_bf = _slope_time(
+        mk_apply, (D_bf, ilu_bf, dinv.astype(bf), x.astype(bf),
+                   jnp.zeros(n, bf)))
+    _record("scalar_ilu0_apply_pair_bf16", t_apply_bf,
+            ((kl + 3) + (ku + 4)) * n * 2, stream_bw, nnz)
+    DETAIL["scalar_ilu0_apply_pair_bf16"]["speedup_vs_f32"] = round(
+        t_apply / t_apply_bf, 3)
 
     return [frac_spmv, frac_fact, frac_apply]
 
@@ -552,7 +574,12 @@ def bench_solve():
         "iters": iters,
         "converged": bool(info.converged),
         "relres": float(info.resnorm / info.bnorm),
+        # full configuration pinned in the artifact so runs are comparable
+        # across rounds (VERDICT r3 weak #7)
+        "npts": npts,
+        "nbuildsweeps": 8,
         "tol": tol,
+        "maxiter": maxiter,
         "napplysweeps": napply,
         "gnnz_iters_per_s": round(nnz * iters / best / 1e9, 3),
     }

@@ -111,6 +111,12 @@ class DistMGSolver:
                                           dA=dA, smoother=sm))
         self._A_coarse = jnp.asarray(chain[-1].toarray())
         self._coarse_lu = jax.scipy.linalg.lu_factor(self._A_coarse)
+        # coarse-only degenerate case (problem too small to coarsen): the
+        # operator is still the distributed fine SpMV; the "cycle" is the
+        # replicated dense solve
+        self._dA_fine = (self.levels[0].dA if self.levels else
+                         shard_dist_csr(mesh, partition_csr(
+                             CSRMatrix.from_scipy(chain[0]), nshards)))
 
     # -- the cycle on row-sharded global arrays ------------------------------
 
@@ -142,7 +148,8 @@ class DistMGSolver:
     # -- driver interface (peer of DistributedSolver) ------------------------
 
     def amat(self, x: jax.Array) -> jax.Array:
-        return self._spmv(self.levels[0], x)
+        return dist_spmv(self.mesh, self._dA_fine.colind,
+                         self._dA_fine.vals_pad, x)
 
     def prec_apply(self, r: jax.Array) -> jax.Array:
         return self._cycle(0, r, jnp.zeros_like(r))

@@ -29,7 +29,14 @@ __all__ = ["TimingRun", "run_perf_test", "format_report"]
 
 @dataclass
 class TimingRun:
-    """(reference: perftesting.hpp TimingRn, :18-58)"""
+    """(reference: perftesting.hpp TimingRn, :18-58)
+
+    ``apply_slope_ms`` / ``setup_slope_ms`` are per-iteration KERNEL times
+    measured as slopes over two in-graph iteration counts (bench.py
+    methodology), which cancels the fixed per-call round-trip of a
+    tunnelled device — ``slope_speedup`` (ref iters·apply-slope over trial
+    iters·apply-slope) is the machine-meaningful speedup column; the
+    wall-time columns remain end-to-end dispatch times."""
 
     label: str = ""
     walltime: float = 0.0
@@ -40,6 +47,25 @@ class TimingRun:
     resnorm: float = 0.0
     convhis: list = field(default_factory=list)
     speedup: float = 0.0
+    apply_slope_ms: float = 0.0      # per single preconditioner apply
+    setup_slope_ms: float = 0.0      # per single factorization sweep
+    slope_speedup: float = 0.0
+
+
+def _slope(make_run, args, i1=4, i2=24, reps=3):
+    """Best-of-reps call times at two in-graph iteration counts → s/iter
+    (same as bench.py::_slope_time; cancels the fixed tunnel round-trip)."""
+    t_at = {}
+    for iters in (i1, i2):
+        run = make_run(iters)
+        float(run(*args))               # compile + first execution
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(run(*args))           # value readback forces execution
+            best = min(best, time.perf_counter() - t0)
+        t_at[iters] = best
+    return max((t_at[i2] - t_at[i1]) / (i2 - i1), 1e-9)
 
 
 def _one_run(A, b, options, repeats: int) -> TimingRun:
@@ -88,6 +114,52 @@ def _one_run(A, b, options, repeats: int) -> TimingRun:
     run.converged = bool(info.converged)
     run.resnorm = float(info.resnorm)
     run.precapply_walltime = ctx.timers.apply_walltime
+
+    # per-apply kernel slope via the pure shard-state protocol — (mat,
+    # state, r) travel as jit ARGUMENTS (closure-captured device arrays
+    # would serialize into a tunnelled remote-compile request)
+    prec = ctx.prec
+    bs = prec.block_size
+
+    def mk_apply(iters):
+        @jax.jit
+        def f(mat, state, r):
+            def body(i, rr):
+                z = prec.apply_with(mat, state,
+                                    rr.reshape(-1, bs) if bs > 1 else rr)
+                z = z.reshape(-1)
+                return z / jnp.linalg.norm(z)      # keep the chain finite
+            return jnp.sum(jax.lax.fori_loop(0, iters, body, r))
+        return f
+
+    try:
+        run.apply_slope_ms = 1e3 * _slope(
+            mk_apply, (prec.mat, prec.state, bvec / jnp.linalg.norm(bvec)))
+    except NotImplementedError:
+        run.apply_slope_ms = 0.0
+
+    # per-build-sweep slope: two one-shot setups at sweep counts b and b+16
+    # through the same api path; the difference isolates the sweep kernel
+    bsw = opts.async_sweeps[0]
+    if bsw > 0:
+        import dataclasses
+
+        def setup_time(nb):
+            o2 = dataclasses.replace(
+                opts, async_sweeps=(nb, opts.async_sweeps[1]))
+            c2 = setup_local_preconditioner(D, o2)
+            compute_preconditioner(c2)             # compile + first run
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                compute_preconditioner(c2)
+                for leaf in jax.tree_util.tree_leaves(c2.prec.state):
+                    float(jnp.sum(jnp.abs(leaf).astype(jnp.float32)))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t1, t2 = setup_time(bsw), setup_time(bsw + 16)
+        run.setup_slope_ms = max(1e3 * (t2 - t1) / 16, 0.0)
     return run
 
 
@@ -100,25 +172,36 @@ def run_perf_test(A, b, base_options: dict, sweep_list,
     ref = _one_run(A, b, ref_opts, repeats)
     ref.label = "ref " + ref.label
     ref.speedup = 1.0
+    ref.slope_speedup = 1.0
     runs = [ref]
     for sw in sweep_list:
         o = dict(base_options)
         o["blasted_async_sweeps"] = ",".join(str(s) for s in sw)
         r = _one_run(A, b, o, repeats)
         r.speedup = ref.walltime / r.walltime if r.walltime else 0.0
+        # machine-meaningful speedup: modeled preconditioning time
+        # iters × per-apply kernel slope, ref over trial (tunnel-free)
+        if r.apply_slope_ms and ref.apply_slope_ms:
+            r.slope_speedup = (ref.iters * ref.apply_slope_ms) / \
+                (r.iters * r.apply_slope_ms)
         runs.append(r)
     return runs
 
 
 def format_report(runs) -> str:
-    """Fixed-width report (reference report format: perftesting.hpp:39-58)."""
+    """Fixed-width report (reference report format: perftesting.hpp:39-58).
+    The slope columns are per-iteration kernel times; wall(s) includes the
+    per-call device round-trip (only caveat on tunnelled devices)."""
     hdr = (f"{'config':>18} {'wall(s)':>11} {'setup(s)':>11} "
-           f"{'iters':>11} {'conv':>11} {'speedup':>11}")
+           f"{'iters':>11} {'conv':>11} {'apply(ms)':>11} "
+           f"{'sweep(ms)':>11} {'speedup':>11} {'slope-spd':>11}")
     lines = [hdr]
     for r in runs:
         lines.append(f"{r.label:>18} {r.walltime:>11.4g} "
                      f"{r.precsetup_walltime:>11.4g} {r.iters:>11d} "
-                     f"{str(r.converged):>11} {r.speedup:>11.3g}")
+                     f"{str(r.converged):>11} {r.apply_slope_ms:>11.4g} "
+                     f"{r.setup_slope_ms:>11.4g} {r.speedup:>11.3g} "
+                     f"{r.slope_speedup:>11.3g}")
     return "\n".join(lines)
 
 

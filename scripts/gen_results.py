@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Generate RESULTS.md from the committed benchmark artifacts.
+
+RESULTS.md is rendered, never hand-written (VERDICT r3 weak #3/#4: two
+rounds of stale hand-edited claims).  Sources:
+
+- ``bench_detail.json`` — written by ``bench.py`` on the real TPU,
+- the recorded test count (``--tests``, e.g. from the last full pytest run),
+- optional extra report files referenced, not inlined (perf/PERFTEST_*,
+  perf/AMG_*).
+
+Usage::
+
+    python scripts/gen_results.py --tests 229 [--out RESULTS.md]
+"""
+
+import argparse
+import json
+import os
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "scalar_spmv", "scalar_ilu0_factor", "scalar_ilu0_apply_pair",
+    "block4_bspmv", "block4_ilu0_factor", "block4_ilu0_apply_pair",
+    "block5_bspmv", "block5_ilu0_factor", "block5_ilu0_apply_pair",
+]
+STREAMS = ["scalar_stream", "block4_stream", "block5_stream"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tests", type=int, required=True,
+                    help="test count from the last full pytest run")
+    ap.add_argument("--out", default=os.path.join(ROOT, "RESULTS.md"))
+    ap.add_argument("--detail", default=os.path.join(ROOT,
+                                                     "bench_detail.json"))
+    args = ap.parse_args()
+
+    with open(args.detail) as f:
+        d = json.load(f)
+
+    lines = []
+    add = lines.append
+    add("# RESULTS — measured on the real TPU (generated; do not hand-edit)")
+    add("")
+    add(f"Rendered from `bench_detail.json` by `scripts/gen_results.py` "
+        f"on {time.strftime('%Y-%m-%d')}.  Methodology: bench.py docstring "
+        f"(slope timing over two in-graph iteration counts; value-readback "
+        f"sync; nonlinear stream roofline XLA cannot hoist; all data "
+        f"device-generated).")
+    add("")
+    add(f"Tests: **{args.tests} passed** "
+        f"(`python -m pytest tests/ -q`, 8-device virtual CPU mesh, f64).")
+    add("")
+
+    add("## Streaming rooflines (measured denominator)")
+    add("")
+    add("| section | ms/iter | GB/s | fraction of spec HBM |")
+    add("|---|---|---|---|")
+    for k in STREAMS:
+        if k in d:
+            e = d[k]
+            add(f"| {k} | {e['ms_per_iter']} | {e['gb_per_s']} | "
+                f"{e['frac_spec_hbm']} |")
+    add("")
+
+    add("## Headline kernels (min over this set is the driver metric)")
+    add("")
+    add("| kernel | ms/iter | Gnnz/s | frac of measured stream | "
+        "frac of spec HBM |")
+    add("|---|---|---|---|---|")
+    fracs = []
+    for k in HEADLINE:
+        if k in d:
+            e = d[k]
+            fracs.append(e["frac_measured_stream"])
+            add(f"| {k} | {e['ms_per_iter']} | {e.get('gnnz_per_s', '')} | "
+                f"{e['frac_measured_stream']} | {e['frac_spec_hbm']} |")
+    add("")
+    if fracs:
+        mn = min(fracs)
+        add(f"**min roofline fraction = {mn:.4f}** "
+            f"(target ≥ 0.70, BASELINE.json; vs_baseline = {mn/0.70:.4f}).")
+        add("")
+
+    if "scalar_ilu0_apply_pair_bf16" in d:
+        e = d["scalar_ilu0_apply_pair_bf16"]
+        add("## Mixed precision (`-blasted_apply_dtype bfloat16`)")
+        add("")
+        add(f"bf16 ILU0 apply pair: {e['ms_per_iter']} ms/iter "
+            f"({e.get('gnnz_per_s', '?')} Gnnz/s), "
+            f"**{e.get('speedup_vs_f32', '?')}× the f32 apply**; "
+            f"fraction of the f32 measured stream {e['frac_measured_stream']}"
+            f" at the half-width byte model.")
+        add("")
+
+    if "csr_padded_spmv" in d:
+        e = d["csr_padded_spmv"]
+        add("## Padded-CSR gather SpMV (diagnostic, excluded from the min)")
+        add("")
+        add(f"{e['ms_per_iter']} ms/iter, "
+            f"{e.get('gather_gelem_per_s', '?')} G elem/s — XLA lowers "
+            f"arbitrary TPU gathers to ~8 ns/element scalar code; this is "
+            f"the documented non-production fallback (RCM banding routes "
+            f"unstructured problems onto DIA — see CLAUDE.md).")
+        add("")
+
+    if "solve_bicgstab_diailu0" in d:
+        e = d["solve_bicgstab_diailu0"]
+        add("## End-to-end solve (BiCGSTAB + DIA-ILU0)")
+        add("")
+        add(f"| seconds | iters | converged | rel. residual | tol | "
+            f"apply sweeps | Gnnz·iters/s |")
+        add(f"|---|---|---|---|---|---|---|")
+        add(f"| {e['seconds']} | {e['iters']} | {e['converged']} | "
+            f"{e['relres']:.2e} | {e['tol']} | {e['napplysweeps']} | "
+            f"{e['gnnz_iters_per_s']} |")
+        add("")
+
+    if "amg" in d:
+        e = d["amg"]
+        add("## AMG (on-chip)")
+        add("")
+        add(f"{json.dumps(e)}")
+        add("")
+
+    add("Further reports: `perf/` (on-chip perftest with per-iteration "
+        "slope columns), `BENCH_r0*.json` (driver-captured round records).")
+    add("")
+
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
