@@ -105,12 +105,7 @@ def bench_scalar():
     import jax
     import jax.numpy as jnp
 
-    from blasted_tpu.ops.spmv import spmv
-    from blasted_tpu.ops.sweeps import unit_lower_sweep, upper_solve_sweep
-    from blasted_tpu.precond.dia_ilu0 import (
-        dia_factor_sweep_tuple,
-        dia_pairs,
-    )
+    from blasted_tpu.precond.dia_ilu0 import dia_pairs
     from blasted_tpu.sparse.dia import DiaMatrix
 
     g = int(os.environ.get("BENCH_SCALAR_G", "320"))
@@ -184,75 +179,87 @@ def bench_scalar():
           f"{stream_bw/1e9:.0f} GB/s ({stream_bw/HBM_BW:.2f} of spec)",
           file=sys.stderr)
 
-    # ---- SpMV (D passed as a pytree argument) ----
+    # ---- SpMV: Pallas halo-ring stencil kernel, chained in the padded
+    # frame (ops/stencil.py — the XLA-fused shifted reads fall off a
+    # locality cliff past a ~0.5 MB halo window; measured 386 GB/s fused vs
+    # 590+ GB/s stencil at g=384) ----
+    from blasted_tpu.ops.stencil import (
+        dia_spmv_stencil, pad_vec, stencil_plan, unpad_vec,
+    )
+
+    T_st, _ = stencil_plan(offsets, n)
+
     def mk_spmv(iters):
         @jax.jit
-        def run(Dm, v):
+        def run(dd, vp):
             out = jax.lax.fori_loop(
-                0, iters, lambda i, u: spmv(Dm, u) * c_spmv, v)
+                0, iters,
+                lambda i, u: dia_spmv_stencil(offsets, dd, u, T_st) * c_spmv,
+                vp)
             return jnp.sum(out)
         return run
 
-    t_spmv = _slope_time(mk_spmv, (D, x))
+    t_spmv = _slope_time(mk_spmv, (D.data, pad_vec(x, T_st)))
     frac_spmv = _record("scalar_spmv", t_spmv, (k + 2) * n * isz,
                         stream_bw, nnz)
 
-    # ---- ILU0 factor sweep ----
+    # ---- ILU0 factor sweep: fused Pallas stencil (one kernel updates the
+    # main diagonal + all lower diagonals per sweep; evolving state chains
+    # in the padded frame, every shifted operand fetched ONCE per sweep
+    # through its halo ring — ops/stencil.py dia_factor_sweeps_stencil) ----
+    from blasted_tpu.ops.stencil import (
+        dia_factor_sweeps_stencil, factor_stencil_eligible,
+    )
+
     pairs = dia_pairs(offsets)
     d0 = offsets.index(0)
-
-    # d0's mask is all-true and o<0 diagonals need no re-mask (see
-    # dia_factor_sweep_tuple): only the upper diagonals keep their masks
-    mask_none = [o <= 0 for o in offsets]
+    assert factor_stencil_eligible(offsets, pairs)
 
     def mk_fact(iters):
         @jax.jit
-        def run(mask, base, ilu):
-            base_t = tuple(base[d] for d in range(k))
-            mask_t = tuple(None if mask_none[d] else mask[d] for d in range(k))
-            out = jax.lax.fori_loop(
-                0, iters,
-                lambda i, v: dia_factor_sweep_tuple(offsets, pairs, d0,
-                                                    mask_t, base_t, v),
-                tuple(ilu[d] for d in range(k)))
+        def run(base, ilu):
+            out = dia_factor_sweeps_stencil(offsets, pairs, d0,
+                                            tuple(base), tuple(ilu),
+                                            iters, T_st)
             return jnp.sum(out[d0])
         return run
 
-    t_fact = _slope_time(mk_fact, (D.mask, D.data, D.data))
-    # traffic model for the pruned sweep: evolving diagonals only —
-    # per sweep: d0 (base + 2 reads/pair + write) + each lower diag
-    # (base + shifted udiag + write); pair-free upper diags are free
+    t_fact = _slope_time(mk_fact, (D.data, D.data))
+    # traffic model for the fused sweep: base0 + kl lower bases + kl
+    # evolving lowers + 1 u0 halo fetch + npairs upper halo fetches +
+    # (1 + kl) writes — shifted operands are fetched once (halo rings)
     kl_ = sum(1 for o in offsets if o < 0)
     npairs = len(pairs[d0])
-    bytes_fact = (2 + 2 * npairs + 3 * kl_) * n * isz
+    bytes_fact = (1 + 2 * kl_ + 1 + npairs + 1 + kl_) * n * isz
     frac_fact = _record("scalar_ilu0_factor", t_fact, bytes_fact,
                         stream_bw, nnz)
 
     # ---- ILU0 apply (forward + backward sweep pair) ----
     @jax.jit
-    def factor8(mask, base, ilu):
-        base_t = tuple(base[d] for d in range(k))
-        mask_t = tuple(None if mask_none[d] else mask[d] for d in range(k))
-        out = jax.lax.fori_loop(
-            0, 8, lambda i, v: dia_factor_sweep_tuple(offsets, pairs, d0,
-                                                      mask_t, base_t, v),
-            tuple(ilu[d] for d in range(k)))
-        return out                     # tuple layout — the production form
+    def factor8(base, ilu):
+        return dia_factor_sweeps_stencil(offsets, pairs, d0, tuple(base),
+                                         tuple(ilu), 8, T_st)
 
-    ilu = factor8(D.mask, D.data, D.data)
+    ilu = factor8(D.data, D.data)
     dinv = 1.0 / jnp.where(ilu[d0] == 0, 1.0, ilu[d0])
+
+    from blasted_tpu.ops.stencil import (
+        unit_lower_sweep_stencil, upper_solve_sweep_stencil,
+    )
 
     def mk_apply(iters):
         @jax.jit
-        def run(Dm, iluv, di, z, y0):
-            def pair(y):
-                y1 = unit_lower_sweep(Dm, iluv, z, y)
-                return upper_solve_sweep(Dm, iluv, di, z, y1)
-            out = jax.lax.fori_loop(0, iters, lambda i, y: pair(y), y0)
+        def run(iluv, di, z, y0p):
+            def pair(yp):
+                y1p = unit_lower_sweep_stencil(offsets, iluv, z, yp, T_st)
+                return upper_solve_sweep_stencil(offsets, iluv, di, z,
+                                                 y1p, T_st)
+            out = jax.lax.fori_loop(0, iters, lambda i, y: pair(y), y0p)
             return jnp.sum(out)
         return run
 
-    t_apply = _slope_time(mk_apply, (D, ilu, dinv, x, jnp.zeros_like(x)))
+    t_apply = _slope_time(mk_apply, (ilu, dinv, x,
+                                     pad_vec(jnp.zeros_like(x), T_st)))
     kl = sum(1 for o in offsets if o < 0)
     ku = sum(1 for o in offsets if o > 0)
     bytes_apply = ((kl + 3) + (ku + 4)) * n * isz
@@ -265,12 +272,10 @@ def bench_scalar():
     # is the f32 one at 2 bytes/elem; the fraction stays normalised to the
     # f32 stream so >0.5 means bf16 beats the f32 apply wall-clock.
     bf = jnp.bfloat16
-    D_bf = DiaMatrix(data=tuple(v.astype(bf) for v in D.data),
-                     mask=D.mask, offsets=offsets)
     ilu_bf = tuple(v.astype(bf) for v in ilu)
     t_apply_bf = _slope_time(
-        mk_apply, (D_bf, ilu_bf, dinv.astype(bf), x.astype(bf),
-                   jnp.zeros(n, bf)))
+        mk_apply, (ilu_bf, dinv.astype(bf), x.astype(bf),
+                   pad_vec(jnp.zeros(n, bf), T_st)))
     _record("scalar_ilu0_apply_pair_bf16", t_apply_bf,
             ((kl + 3) + (ku + 4)) * n * 2, stream_bw, nnz)
     DETAIL["scalar_ilu0_apply_pair_bf16"]["speedup_vs_f32"] = round(

@@ -38,6 +38,18 @@ def dia_mv(A: DiaMatrix, data: jax.Array, x: jax.Array, which: str) -> jax.Array
 
 
 def dia_spmv(A: DiaMatrix, x: jax.Array) -> jax.Array:
+    from .stencil import (
+        dia_spmv_stencil, pad_vec, stencil_gate, unpad_vec,
+    )
+
+    plan = stencil_gate(A.offsets, A.nrows, jnp.dtype(x.dtype).itemsize)
+    if plan is not None and x.dtype == A.dtype:
+        # large-halo band on a real TPU: the Pallas halo-ring kernel (the
+        # XLA-fused shifted reads re-fetch x per diagonal past a ~0.5 MB
+        # window — ops/stencil.py)
+        T, _ = plan
+        return unpad_vec(
+            dia_spmv_stencil(A.offsets, A.data, pad_vec(x, T), T), T)
     return dia_mv(A, A.data, x, "all")
 
 

@@ -208,7 +208,24 @@ class DiaILU0Preconditioner(Preconditioner):
                                           base_t, v)
 
         info0 = self._nonlinear_res(base, ilu) if self.compute_precinfo else 0.0
-        if self.nbuildsweeps == SEQUENTIAL:
+        from ..ops.stencil import (
+            dia_factor_sweeps_stencil,
+            factor_stencil_eligible,
+            stencil_gate,
+        )
+
+        gate = stencil_gate(offsets, A.nrows,
+                            jnp.dtype(A.dtype).itemsize,
+                            extra_streams=6)
+        if (self.nbuildsweeps != SEQUENTIAL and gate is not None
+                and factor_stencil_eligible(offsets, pairs)
+                and mask_t[d0] is None):
+            # large-halo band on a real TPU: the fused Pallas factor sweep
+            # (padded-frame chaining; ops/stencil.py)
+            ilu_t = dia_factor_sweeps_stencil(
+                offsets, pairs, d0, base_t, ilu_t, self.nbuildsweeps,
+                gate[0])
+        elif self.nbuildsweeps == SEQUENTIAL:
             lev = low  # factorization wavefronts == lower-solve wavefronts
 
             def body(it, xt):
@@ -268,10 +285,37 @@ class DiaILU0Preconditioner(Preconditioner):
         _, nlow, _, nup, _ = self._build_levels()
         z = st.scale * r if st.scale is not None else r
 
+        from ..ops.stencil import (
+            pad_vec,
+            stencil_gate,
+            unit_lower_sweep_stencil,
+            unpad_vec,
+            upper_solve_sweep_stencil,
+        )
+
+        gate = (None if self.napplysweeps == SEQUENTIAL else
+                stencil_gate(A.offsets, A.nrows,
+                             jnp.dtype(z.dtype).itemsize))
         if self.napplysweeps == SEQUENTIAL:
             y = exact_lower_solve(A, st.ilu, z, st.low_level, nlow)
             zout = exact_upper_solve(A, st.ilu, st.ilu_dinv, y,
                                      st.up_level, nup)
+        elif gate is not None and st.ilu[0].dtype == z.dtype:
+            # Pallas halo-ring sweeps chained in the padded frame
+            T = gate[0]
+            offs = A.offsets
+            yp = run_sweeps(
+                self.napplysweeps,
+                lambda yy: unit_lower_sweep_stencil(offs, st.ilu, z, yy, T),
+                pad_vec(jnp.zeros_like(z), T))
+            z0p = yp if self.apply_init == ApplyInit.JACOBI \
+                else pad_vec(jnp.zeros_like(z), T)
+            zp = run_sweeps(
+                self.napplysweeps,
+                lambda zz: upper_solve_sweep_stencil(
+                    offs, st.ilu, st.ilu_dinv, yp, zz, T, rhs_padded=True),
+                z0p)
+            zout = unpad_vec(zp, T)
         else:
             y0 = jnp.zeros_like(z)
             y = run_sweeps(self.napplysweeps,
