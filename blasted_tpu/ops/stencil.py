@@ -112,9 +112,12 @@ def _ring_window(xp_ref, xbuf, sems, tt, ntp, T):
 
     Protocol (each DMA started and waited exactly once, 1-tile lookahead):
       tt == 0 (pad tile): start blocks 0, 1, 2
-      tt >= 1:            start block tt+2 (used at tile tt+1)
+      tt >= 1:            start block tt+2 (used at tile tt+1), while in range
       tt == 1:            wait 0, 1, 2
-      tt >= 2:            wait block tt+1
+      tt >= 2:            wait block tt+1, while in range — the last grid
+                          step is a pad tile whose window is unused; waiting
+                          an unstarted block there deadlocks the DMA
+                          semaphore and kills the worker (observed on chip)
     """
     def dma(i):
         slot = pl.multiple_of((i % _NBUF) * T, T)
@@ -138,7 +141,7 @@ def _ring_window(xp_ref, xbuf, sems, tt, ntp, T):
         dma(1).wait()
         dma(2).wait()
 
-    @pl.when(tt >= 2)
+    @pl.when((tt >= 2) & (tt + 1 <= ntp - 1))
     def _():
         dma(tt + 1).wait()
 

@@ -236,8 +236,9 @@ def test_dist_mg_matches_oracle_and_beats_single_level():
 
 
 def test_dist_mg_levels_and_constraints():
-    """Hierarchy respects divisibility gates; non-divisible inputs fail fast
-    (the partition_csr posture); smoothed prolongator is rejected."""
+    """Hierarchy respects divisibility gates; non-divisible inputs are
+    identity-padded (the partition_csr posture) and still solve correctly;
+    smoothed prolongator is rejected."""
     from blasted_tpu.parallel.dist_mg import DistMGSolver
     from blasted_tpu.sparse.csr import CSRMatrix
 
@@ -248,10 +249,12 @@ def test_dist_mg_levels_and_constraints():
     for lev in ds.levels:
         assert lev.n % 8 == 0 and lev.n % lev.group == 0
 
-    n = 4097  # prime-ish: not divisible by the mesh
+    n = 4097  # prime-ish: not divisible by the mesh → identity-padded
     bad = sps.identity(n, format="csr") * 2.0
-    with pytest.raises(ValueError):
-        DistMGSolver(CSRMatrix.from_scipy(bad), mesh)
+    rhs = np.linspace(-1.0, 1.0, n)
+    dm = DistMGSolver(CSRMatrix.from_scipy(bad), mesh)
+    x, info = dm.solve(rhs, method="cg", tol=1e-12, maxiter=10)
+    assert np.allclose(np.asarray(x)[:n], rhs / 2.0, atol=1e-10)
     with pytest.raises(ValueError):
         DistMGSolver(A, mesh, AMGSettings(smooth_prolongator=True))
 
