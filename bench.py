@@ -225,12 +225,16 @@ def bench_scalar():
         return run
 
     t_fact = _slope_time(mk_fact, (D.data, D.data))
-    # traffic model for the fused sweep: base0 + kl lower bases + kl
-    # evolving lowers + 1 u0 halo fetch + npairs upper halo fetches +
-    # (1 + kl) writes — shifted operands are fetched once (halo rings)
-    kl_ = sum(1 for o in offsets if o < 0)
+    # traffic model for the compressed (substituted) sweep — u0 is the only
+    # evolving state (ops/stencil.py _factor_u0_call): base0 + npairs
+    # pair-lower bases + npairs pre-shifted uppers + 1 u0 halo fetch +
+    # 1 write.  The final lower materialisation is once per factorization
+    # (cancelled by the slope).  NOTE each compressed sweep carries the
+    # contraction of TWO plain Jacobi sweeps (test_stencil.py parity
+    # characterisation), so per-convergence cost is half of what the
+    # ms_per_iter suggests.
     npairs = len(pairs[d0])
-    bytes_fact = (1 + 2 * kl_ + 1 + npairs + 1 + kl_) * n * isz
+    bytes_fact = (3 + 2 * npairs) * n * isz
     frac_fact = _record("scalar_ilu0_factor", t_fact, bytes_fact,
                         stream_bw, nnz)
 

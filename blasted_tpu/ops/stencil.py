@@ -107,8 +107,9 @@ def unpad_vec(xp: jax.Array, T: int) -> jax.Array:
 def _ring_window(xp_ref, xbuf, sems, tt, ntp, T):
     """Maintain the 3-block halo window of ``xp_ref`` (HBM) in the VMEM ring
     ``xbuf`` (a flat (4·T,) scratch — a (4, T) shape would put the slot axis
-    on sublane tiling, which Mosaic refuses to slice); returns the (3T,)
-    window for real tile t = tt−1.
+    on sublane tiling, which Mosaic refuses to slice); returns ``wslice``,
+    mapping a shift o ∈ [−T, T] to the (T,) window slice of real tile
+    t = tt−1.
 
     Protocol (each DMA started and waited exactly once, 1-tile lookahead):
       tt == 0 (pad tile): start blocks 0, 1, 2
@@ -150,7 +151,24 @@ def _ring_window(xp_ref, xbuf, sems, tt, ntp, T):
     def slot(i):
         return xbuf[pl.ds(pl.multiple_of((i % _NBUF) * T, T), T)]
 
-    return jnp.concatenate([slot(t), slot(t + 1), slot(t + 2)])
+    win = []          # lazily materialised (3T,) window, built at most once
+
+    def wslice(o):
+        """The (T,) window slice at shift ``o`` ∈ [−T, T] of real tile t.
+        Whole-slot shifts (o ∈ {0, ±T}) read their slot directly; interior
+        shifts slice one shared materialised 3T window (Mosaic cannot
+        concatenate offset slices directly)."""
+        if o == 0:
+            return slot(t + 1)
+        if o == -T:
+            return slot(t)
+        if o == T:
+            return slot(t + 2)
+        if not win:
+            win.append(jnp.concatenate([slot(t), slot(t + 1), slot(t + 2)]))
+        return win[0][T + o:2 * T + o]
+
+    return wslice
 
 
 def _clampmap(nt):
@@ -172,16 +190,15 @@ def _spmv_call(offsets: tuple, n: int, T: int, dtype_name: str):
         xbuf, sems = refs[k + 2], refs[k + 3]
         tt = pl.program_id(0)
         ntp = pl.num_programs(0)
-        xw = _ring_window(xp, xbuf, sems, tt, ntp, T)
+        xs = _ring_window(xp, xbuf, sems, tt, ntp, T)
 
         real = (tt >= 1) & (tt <= ntp - 2)
 
         @pl.when(real)
         def _():
-            acc = dd[0][:] * xw[T + offsets[0]:2 * T + offsets[0]]
+            acc = dd[0][:] * xs(offsets[0])
             for d in range(1, k):
-                o = offsets[d]
-                acc = acc + dd[d][:] * xw[T + o:2 * T + o]
+                acc = acc + dd[d][:] * xs(offsets[d])
             out[:] = acc
 
         @pl.when(jnp.logical_not(real))
@@ -201,6 +218,8 @@ def _spmv_call(offsets: tuple, n: int, T: int, dtype_name: str):
         scratch_shapes=[pltpu.VMEM((_NBUF * T,), dt),
                         pltpu.SemaphoreType.DMA((_NBUF,))],
         interpret=_interpret(),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )
 
 
@@ -237,7 +256,7 @@ def _tri_sweep_call(offs_sel: tuple, n: int, T: int, dtype_name: str,
         xbuf, sems = refs[i + 2], refs[i + 3]
         tt = pl.program_id(0)
         ntp = pl.num_programs(0)
-        yw = _ring_window(yp, xbuf, sems, tt, ntp, T)
+        ys = _ring_window(yp, xbuf, sems, tt, ntp, T)
 
         real = (tt >= 1) & (tt <= ntp - 2)
 
@@ -245,7 +264,7 @@ def _tri_sweep_call(offs_sel: tuple, n: int, T: int, dtype_name: str,
         def _():
             acc = rhs[:]
             for j, o in enumerate(offs_sel):
-                acc = acc - cc[j][:] * yw[T + o:2 * T + o]
+                acc = acc - cc[j][:] * ys(o)
             if with_dinv:
                 acc = acc * dinv[:]
             out[:] = acc
@@ -273,6 +292,8 @@ def _tri_sweep_call(offs_sel: tuple, n: int, T: int, dtype_name: str,
         scratch_shapes=[pltpu.VMEM((_NBUF * T,), dt),
                         pltpu.SemaphoreType.DMA((_NBUF,))],
         interpret=_interpret(),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )
 
 
@@ -305,83 +326,114 @@ def upper_solve_sweep_stencil(offsets, ilu, dinv, y, zp, T: int,
 # ------------------------------------------------------------- factor -------
 
 @functools.lru_cache(maxsize=64)
-def _factor_call(offsets: tuple, pairs_key: tuple, n: int, T: int,
-                 dtype_name: str):
-    """Fused Chow–Patel sweep for bands whose only pair-carrying diagonal is
-    the main one (tensor-stencil family): one kernel updates the main
-    diagonal and every lower diagonal; pair-free upper diagonals pass
-    through outside.
+def _factor_u0_call(lower_offs: tuple, n: int, T: int, dtype_name: str):
+    """One compressed Chow–Patel sweep: with the lower diagonals substituted
+    into the main-diagonal update, u0 is the ONLY evolving state,
 
-      u0'[i]   = base0[i] − Σ_pairs ilu_l(o1)[i] · base_u(o−o1)[i+o1]
-      l_o'[i]  = base_l(o)[i] / guard(u0[i+o])
+      u0'[i] = base0[i] − Σ_j (base_l_j[i] / guard(u0[i+o_j])) · ubs_j[i]
 
-    Evolving state travels in the PADDED frame (u0 and the lowers), so a
-    sweep loop chains with zero repacking.  Reads per sweep: base0(1) +
-    base_l(kl) + ilu_l(kl) + one fetch of each pair-upper + one fetch of u0
-    (halo rings); writes 1 + kl."""
-    lowers = tuple(d for d, o in enumerate(offsets) if o < 0)
-    kl = len(lowers)
-    npair = len(pairs_key)
+    over the fill PAIRS j (o_j = the pair's lower offset, base_l_j = that
+    lower's base stream, ubs_j = the pair-upper pre-shifted by o_j).
+    3 + 2·npair streams per sweep — the memory-optimal sweep for this band
+    family: 15n → 9n bytes (7-point) vs materialising the lowers each
+    sweep, with bitwise-identical u0 iterates."""
+    kl = len(lower_offs)
     nt = n // T
     dt = jnp.dtype(dtype_name)
-    pairs0 = list(pairs_key)   # [(d_lower, d_upper, o1)] for the d0 update
 
     def kernel(*refs):
-        base0 = refs[0]                       # (T,) blocks, clamped map
-        base_l = refs[1:1 + kl]               # (T,) blocks, clamped map
-        ilu_lp = refs[1 + kl:1 + 2 * kl]      # padded frame, block tt
+        base0 = refs[0]                       # padded frame, block tt
+        base_l = refs[1:1 + kl]               # padded frame, block tt
+        ubs = refs[1 + kl:1 + 2 * kl]         # pre-shifted, padded, block tt
         u0p = refs[1 + 2 * kl]                # padded, HBM, halo ring
-        ubp = refs[2 + 2 * kl:2 + 2 * kl + npair]   # padded, HBM, rings
-        out0 = refs[2 + 2 * kl + npair]
-        out_l = refs[3 + 2 * kl + npair:3 + 3 * kl + npair]
-        scr = refs[3 + 3 * kl + npair:]
-        xbufs = scr[:npair + 1]
-        sems = scr[npair + 1]
+        out0 = refs[2 + 2 * kl]
+        xbuf, sems = refs[3 + 2 * kl], refs[4 + 2 * kl]
 
         tt = pl.program_id(0)
         ntp = pl.num_programs(0)
-        wins = [_ring_window(ref, buf, sems.at[a], tt, ntp, T)
-                for a, (ref, buf) in enumerate(zip((u0p,) + tuple(ubp),
-                                                   xbufs))]
-        u0w = wins[0]
+        u0s = _ring_window(u0p, xbuf, sems, tt, ntp, T)
 
         real = (tt >= 1) & (tt <= ntp - 2)
 
         @pl.when(real)
         def _():
             s = base0[:]
-            for j, (dl, du, o1) in enumerate(pairs0):
-                li = lowers.index(dl)
-                s = s - ilu_lp[li][:] * wins[1 + j][T + o1:2 * T + o1]
+            for j, o in enumerate(lower_offs):
+                den = u0s(o)
+                den = jnp.where(den == 0, jnp.ones((), dt), den)
+                s = s - (base_l[j][:] / den) * ubs[j][:]
             out0[:] = s
-            for li, d in enumerate(lowers):
-                o = offsets[d]
-                den = u0w[T + o:2 * T + o]
+
+        @pl.when(jnp.logical_not(real))
+        def _():
+            out0[:] = jnp.zeros((T,), dt)
+
+    pspec = pl.BlockSpec((T,), lambda tt: (tt,), memory_space=pltpu.VMEM)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    return pl.pallas_call(
+        kernel,
+        grid=(nt + 2,),
+        in_specs=[pspec] * (1 + 2 * kl) + [any_spec],
+        out_specs=pspec,
+        out_shape=jax.ShapeDtypeStruct((n + 2 * T,), dt),
+        scratch_shapes=[pltpu.VMEM((_NBUF * T,), dt),
+                        pltpu.SemaphoreType.DMA((_NBUF,))],
+        interpret=_interpret(),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _factor_lower_call(lower_offs: tuple, n: int, T: int, dtype_name: str):
+    """The halo part of the split Chow–Patel sweep: per lower diagonal,
+
+      l_o'[i] = base_l(o)[i] / guard(u0[i+o])
+
+    — the ONLY shifted reads of the sweep (all of the evolving u0, at the
+    negative lower offsets), fetched once through a single VMEM halo ring.
+    Inputs/outputs travel in the padded frame for zero-repack chaining."""
+    kl = len(lower_offs)
+    nt = n // T
+    dt = jnp.dtype(dtype_name)
+
+    def kernel(*refs):
+        base_l = refs[:kl]                    # padded frame, block tt
+        u0p = refs[kl]                        # padded, HBM, halo ring
+        out_l = refs[kl + 1:kl + 1 + kl]
+        xbuf, sems = refs[kl + 1 + kl], refs[kl + 2 + kl]
+
+        tt = pl.program_id(0)
+        ntp = pl.num_programs(0)
+        u0s = _ring_window(u0p, xbuf, sems, tt, ntp, T)
+
+        real = (tt >= 1) & (tt <= ntp - 2)
+
+        @pl.when(real)
+        def _():
+            for li, o in enumerate(lower_offs):
+                den = u0s(o)
                 den = jnp.where(den == 0, jnp.ones((), dt), den)
                 out_l[li][:] = base_l[li][:] / den
 
         @pl.when(jnp.logical_not(real))
         def _():
-            out0[:] = jnp.zeros((T,), dt)
             for li in range(kl):
                 out_l[li][:] = jnp.zeros((T,), dt)
 
-    cm = _clampmap(nt)
-    vspec = pl.BlockSpec((T,), cm, memory_space=pltpu.VMEM)
     pspec = pl.BlockSpec((T,), lambda tt: (tt,), memory_space=pltpu.VMEM)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    in_specs = ([vspec] * (1 + kl) + [pspec] * kl
-                + [any_spec] * (1 + npair))
     return pl.pallas_call(
         kernel,
         grid=(nt + 2,),
-        in_specs=in_specs,
-        out_specs=[pspec] * (1 + kl),
-        out_shape=[jax.ShapeDtypeStruct((n + 2 * T,), dt)] * (1 + kl),
-        scratch_shapes=[pltpu.VMEM((_NBUF * T,), dt)
-                        for _ in range(npair + 1)]
-        + [pltpu.SemaphoreType.DMA((npair + 1, _NBUF))],
+        in_specs=[pspec] * kl + [any_spec],
+        out_specs=[pspec] * kl,
+        out_shape=[jax.ShapeDtypeStruct((n + 2 * T,), dt)] * kl,
+        scratch_shapes=[pltpu.VMEM((_NBUF * T,), dt),
+                        pltpu.SemaphoreType.DMA((_NBUF,))],
         interpret=_interpret(),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )
 
 
@@ -399,28 +451,54 @@ def factor_stencil_eligible(offsets, pairs) -> bool:
 
 def dia_factor_sweeps_stencil(offsets, pairs, d0, base, ilu0,
                               nsweeps: int, T: int):
-    """Run ``nsweeps`` fused Chow–Patel sweeps with padded-frame chaining.
+    """Run ``nsweeps`` split Chow–Patel sweeps with padded-frame chaining.
+
+    Substituting the lower update l_o = base_l/guard(u0[·+o]) into the
+    main-diagonal update shows u0 is the ONLY evolving state:
+
+      u0' = base0 − Σ_pairs (base_l(o1)/guard(u0[·+o1])) · ubs
+
+    so each sweep is ONE 9-stream kernel (:func:`_factor_u0_call`) and the
+    lower diagonals are materialised ONCE after the final sweep
+    (:func:`_factor_lower_call`) from u0 of the second-to-last sweep —
+    exactly the state the two-array Jacobi iteration would hold, so the
+    result is bitwise identical to the uncompressed sweeps while moving
+    9n instead of 15n bytes per sweep (7-point band).
+
     ``base``/``ilu0`` are unpadded (n,) stream tuples; returns the unpadded
     tuple (pair-free uppers pass through untouched)."""
-    n = base[0].shape[0]
+    if nsweeps <= 0:
+        return tuple(ilu0)
     lowers = [d for d, o in enumerate(offsets) if o < 0]
+    lower_offs = tuple(offsets[d] for d in lowers)
+    n = base[0].shape[0]
     dt = jnp.dtype(base[0].dtype).name
     pairs_key = tuple(tuple(p) for p in pairs[d0])
-    call = _factor_call(tuple(offsets), pairs_key, n, T, dt)
+    pair_offs = tuple(o1 for (_, _, o1) in pairs_key)
+    u0_call = _factor_u0_call(pair_offs, n, T, dt)
+    low_call = _factor_lower_call(lower_offs, n, T, dt)
 
-    base0 = base[d0]
-    base_ls = [base[d] for d in lowers]
-    ubp = [pad_vec(ilu0[du], T) for (_, du, _) in pairs_key]
+    # pair-uppers are fixed points — pre-shift once, amortised over sweeps;
+    # everything travels in the padded frame (pad regions are zero and stay
+    # zero: base pads are zero, 0/guard = 0 and 0·x = 0)
+    from ..sparse.dia import shift_read
+    base0p = pad_vec(base[d0], T)
+    base_pair_lp = [pad_vec(base[dl], T) for (dl, _, _) in pairs_key]
+    base_lp = [pad_vec(base[d], T) for d in lowers]
+    ubs_p = [pad_vec(shift_read(ilu0[du], o1), T) for (_, du, o1) in pairs_key]
 
-    def sweep(carry):
-        u0p, lps = carry
-        outs = call(base0, *base_ls, *lps, u0p, *ubp)
-        return outs[0], list(outs[1:])
+    def sweep(c):
+        _, u0c = c
+        return u0c, u0_call(base0p, *base_pair_lp, *ubs_p, u0c)
 
-    carry = (pad_vec(ilu0[d0], T), [pad_vec(ilu0[d], T) for d in lowers])
-    u0p, lps = jax.lax.fori_loop(0, nsweeps, lambda i, c: sweep(c), carry)
+    u0c = pad_vec(ilu0[d0], T)
+    u0_prev, u0_last = jax.lax.fori_loop(0, nsweeps,
+                                         lambda i, c: sweep(c), (u0c, u0c))
+    # lowers of the final state come from the PREVIOUS u0 iterate (the
+    # two-array sweep updates l from the pre-sweep diagonal)
+    lns = low_call(*base_lp, u0_prev)
     res = list(ilu0)
-    res[d0] = unpad_vec(u0p, T)
+    res[d0] = unpad_vec(u0_last, T)
     for li, d in enumerate(lowers):
-        res[d] = unpad_vec(lps[li], T)
+        res[d] = unpad_vec(lns[li], T)
     return tuple(res)

@@ -285,16 +285,16 @@ def test_refined_f32_reaches_reference_tolerances(name, matdir, bs, tol_err):
 
 
 def test_2dcyl1_uneven_3shard_mesh():
-    """The reference's own mpirun -n 3 distributed fixture: 2dcyl1's 1784
-    block rows do NOT divide by 3 (reference: tests/CMakeLists.txt:213-228
-    runs MPIPetsc tests with -n 3 on this matrix; PETSc partitions arbitrary
-    sizes).  Identity-padded block-row sharding over a 3-device mesh must
-    reproduce the stored solution."""
+    """The reference's own mpirun -n 3 distributed fixture: 2dcyl1's 446
+    block rows (1784 scalar rows / bs=4) do NOT divide by 3 (reference:
+    tests/CMakeLists.txt:213-228 runs MPIPetsc tests with -n 3 on this
+    matrix; PETSc partitions arbitrary sizes).  Identity-padded block-row
+    sharding over a 3-device mesh must reproduce the stored solution."""
     from blasted_tpu.parallel import DistributedSolver, make_mesh
 
     coo, b, xref = _load(f"{REF}/input/fvens-2dcyl1", "2dcyl1")
     B = bsr_from_coo(coo, 4)
-    assert B.nbrows == 1784 and B.nbrows % 3 != 0
+    assert B.nrows == 1784 and B.nbrows % 3 != 0
     mesh = make_mesh(3)
     ds = DistributedSolver(
         B, mesh, AsyncSolverSettings(prec_type=PrecType.ILU0,

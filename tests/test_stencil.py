@@ -99,6 +99,13 @@ def test_stencil_spmv_chained_padded_frame():
 
 
 def test_stencil_factor_matches_tuple_sweep():
+    """The compressed (substituted) stencil sweep chain against the plain
+    Jacobi tuple sweeps.  One stencil sweep applies the substituted update
+    u0' = base0 − Σ (base_l/guard(u0))·ub — the contraction of TWO plain
+    sweeps — so after K stencil sweeps the main diagonal equals the plain
+    chain's u0 after 2K sweeps, and the returned lowers (computed from the
+    second-to-last u0 iterate) equal the plain chain's lowers after 2K−1
+    sweeps.  Exact characterisation, not an approximate comparison."""
     g = 16
     D = _poisson_band(g, seed=5)
     n = D.nrows
@@ -114,13 +121,13 @@ def test_stencil_factor_matches_tuple_sweep():
                                        nsweeps, T)
 
     mask_t = [None] * k          # d0 all-true; lowers guarded; uppers pass
-    ilu_ref = tuple(D.data)
-    for _ in range(nsweeps):
-        ilu_ref = dia_factor_sweep_tuple(offsets, pairs, d0, mask_t,
-                                         D.data, ilu_ref)
-    for d in range(k):
-        np.testing.assert_allclose(np.asarray(ilu_st[d]),
-                                   np.asarray(ilu_ref[d]),
+    ref = {0: tuple(D.data)}
+    for s in range(1, 2 * nsweeps + 1):
+        ref[s] = dia_factor_sweep_tuple(offsets, pairs, d0, mask_t,
+                                        D.data, ref[s - 1])
+    for d, o in enumerate(offsets):
+        want = ref[2 * nsweeps][d] if o >= 0 else ref[2 * nsweeps - 1][d]
+        np.testing.assert_allclose(np.asarray(ilu_st[d]), np.asarray(want),
                                    rtol=5e-6, atol=5e-6)
 
 
