@@ -272,14 +272,35 @@ def bench_scalar():
 
     # ---- bf16 apply (detail only): -blasted_apply_dtype bfloat16 stores
     # the factors half-width for the triangular sweeps — the mixed-precision
-    # knob (api.py apply_dtype; VERDICT r3 #7 on-chip evidence).  Byte model
-    # is the f32 one at 2 bytes/elem; the fraction stays normalised to the
-    # f32 stream so >0.5 means bf16 beats the f32 apply wall-clock.
+    # knob (api.py apply_dtype; VERDICT r3 #7 on-chip evidence).  bf16
+    # HALVES the halo window, so at g=320 it sits BELOW the ~0.5 MB XLA
+    # fusion-locality cliff and the production gate (stencil_gate itemsize
+    # arg) routes it to the fused shifted-FMA sweeps — measured here on the
+    # same path.  Byte model is the f32 one at 2 bytes/elem; the fraction
+    # stays normalised to the f32 stream so >0.5 means bf16 beats the f32
+    # apply wall-clock.
+    from blasted_tpu.ops.stencil import stencil_gate
+    from blasted_tpu.ops.sweeps import unit_lower_sweep, upper_solve_sweep
+
     bf = jnp.bfloat16
+    assert stencil_gate(offsets, n, 2) is None   # the production route
     ilu_bf = tuple(v.astype(bf) for v in ilu)
+    Dbf = D.with_new_data(ilu_bf)
+
+    def mk_apply_bf(iters):
+        @jax.jit
+        def run(Dm, iluv, di, z, y0):
+            def pair(y):
+                # same chain shape (and byte pattern) as the f32 pair above
+                y1 = unit_lower_sweep(Dm, iluv, z, y)
+                return upper_solve_sweep(Dm, iluv, di, z, y1)
+            out = jax.lax.fori_loop(0, iters, lambda i, y: pair(y), y0)
+            return jnp.sum(out.astype(jnp.float32))
+        return run
+
     t_apply_bf = _slope_time(
-        mk_apply, (ilu_bf, dinv.astype(bf), x.astype(bf),
-                   pad_vec(jnp.zeros(n, bf), T_st)))
+        mk_apply_bf, (Dbf, ilu_bf, dinv.astype(bf), x.astype(bf),
+                      jnp.zeros(n, bf)))
     _record("scalar_ilu0_apply_pair_bf16", t_apply_bf,
             ((kl + 3) + (ku + 4)) * n * 2, stream_bw, nnz)
     DETAIL["scalar_ilu0_apply_pair_bf16"]["speedup_vs_f32"] = round(

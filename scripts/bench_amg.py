@@ -129,6 +129,7 @@ def main():
                      jnp.zeros_like(bb), tol=rtol, maxiter=2000)
         return jnp.sum(x), info.iters, info.resnorm, info.bnorm
 
+    results = {}
     for name, fn, args in (
             ("amg", solve_amg, (Ds, dinvs, Ac.astype(Ds[0].dtype), bj)),
             ("sgs", solve_sgs, (Ds[0], dinvs[0], bj))):
@@ -140,9 +141,43 @@ def main():
             s, its, rn, bn = fn(*args)
             float(s)                         # readback forces execution
             best = min(best, time.perf_counter() - t0)
+        results[name] = {
+            "iters": int(its), "relres": float(rn) / float(bn),
+            "seconds": round(best, 4),
+            "ms_per_iter": round(best * 1e3 / max(int(its), 1), 3),
+        }
         print(f"{name}-cg: iters={int(its)} relres={float(rn)/float(bn):.2e} "
               f"solve={best*1e3:.1f} ms  ({best*1e3/max(int(its),1):.2f} "
               f"ms/iter)", file=sys.stderr)
+
+    # record into bench_detail.json (gen_results.py renders the "amg" key)
+    # and a standalone perf report
+    entry = {
+        "n": int(n), "npts": npts, "rtol": rtol, "smoother": smoother,
+        "levels": [int(t.n) for t in tlev] + [int(Ac.shape[0])],
+        "amg_cg": results["amg"], "sgs_cg": results["sgs"],
+        "speedup_vs_sgs": round(
+            results["sgs"]["seconds"] / results["amg"]["seconds"], 3),
+    }
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "bench_detail.json")
+    try:
+        import json
+        merged = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                merged = json.load(f)
+        merged["amg"] = entry
+        with open(path, "w") as f:
+            json.dump(merged, f, indent=1, sort_keys=True)
+        os.makedirs(os.path.join(root, "perf"), exist_ok=True)
+        rep = os.path.join(root, "perf", "AMG_r04.txt")
+        with open(rep, "w") as f:
+            f.write("AMG-CG vs single-level SGS-CG, real TPU (v5e), "
+                    f"{time.strftime('%Y-%m-%d')}\n"
+                    f"{json.dumps(entry, indent=1)}\n")
+    except (OSError, ValueError) as e:
+        print(f"record failed: {e}", file=sys.stderr)
 
     sys.stderr.flush()
     os._exit(0)

@@ -121,9 +121,21 @@ def main():
 
     if "amg" in d:
         e = d["amg"]
-        add("## AMG (on-chip)")
+        add("## AMG vs single-level SGS (on-chip, CG to rtol="
+            f"{e.get('rtol', '?')}, n={e.get('n', '?')})")
         add("")
-        add(f"{json.dumps(e)}")
+        add("| preconditioner | iters | seconds | ms/iter | rel. residual |")
+        add("|---|---|---|---|---|")
+        for label, key in (("AMG V-cycle", "amg_cg"),
+                           ("2×SGS", "sgs_cg")):
+            r = e.get(key, {})
+            add(f"| {label} | {r.get('iters', '?')} | "
+                f"{r.get('seconds', '?')} | {r.get('ms_per_iter', '?')} | "
+                f"{r.get('relres', 0):.2e} |")
+        add("")
+        add(f"AMG time-to-solution speedup vs SGS: "
+            f"**{e.get('speedup_vs_sgs', '?')}×** "
+            f"(hierarchy {e.get('levels')}; perf/AMG_r04.txt).")
         add("")
 
     add("Further reports: `perf/` (on-chip perftest with per-iteration "
