@@ -318,10 +318,12 @@ def bench_block(bs: int, g: int):
     .hpp:71-98, arXiv:1912.00539).  All data generated on device, in the
     container's native SoA component-stream layout (sparse/bdia.py).
 
-    Default sizes (g=96 for bs=4 → 396 MB matrix state, g=72 for bs=5 →
-    261 MB) put every kernel's working set well past VMEM so the numbers are
-    genuinely HBM-bound — at the round-3 sizes (g=64/48) evolving state sat
-    VMEM-resident and factor/apply reported >1x of spec HBM (VERDICT r3
+    Default sizes (g=128 for bs=4 → 940 MB matrix state, g=96 for bs=5 →
+    620 MB) put every kernel's working set far past VMEM so the numbers are
+    genuinely HBM-bound, AND make per-iteration times ≥1 ms so the 50-iter
+    slope deltas dominate the tunnel's ±10 ms call jitter — at g=96/72 the
+    0.2-0.6 ms kernels measured 1.2-1.6x of spec HBM (noise, not physics),
+    and at the round-3 g=64/48 evolving state sat VMEM-resident (VERDICT r3
     weak #2)."""
     import jax
     import jax.numpy as jnp
@@ -334,6 +336,7 @@ def bench_block(bs: int, g: int):
     )
     from blasted_tpu.precond.bdia_ilu0 import (
         _soa_gj_inverse,
+        bdia_factor_sweeps_compressed,
         bdia_factor_sweeps_soa,
     )
     from blasted_tpu.precond.dia_ilu0 import dia_pairs
@@ -413,46 +416,64 @@ def bench_block(bs: int, g: int):
           f"{stream_bw/1e9:.0f} GB/s ({stream_bw/HBM_BW:.2f} of spec)",
           file=sys.stderr)
 
-    # ---- bspmv (production kernel incl. the (nb,bs)<->streams boundary) ----
+    # ---- bspmv: Pallas halo-ring stencil kernel (ops/bstencil.py — the
+    # bs-column shifted window blows XLA's fusion-locality budget at these
+    # sizes: fused measured 0.41 of stream at bs=4 g=128), chained in the
+    # padded-columns frame like the production sweep loops ----
+    from blasted_tpu.ops.bstencil import (
+        bdia_spmv_stencil_cols, bstencil_gate, stack_spmv_coeffs,
+    )
+    from blasted_tpu.ops.stencil import pad_vec
+
+    plan_b = bstencil_gate(offsets, nb, bs)
+    assert plan_b is not None, "bench block sizes should gate to stencil"
+    T_b = plan_b[0]
+    Cstack = jax.jit(lambda d: stack_spmv_coeffs(offsets, d, bs))(data)
+
     def mk_bspmv(iters):
         @jax.jit
-        def run(Am, v):
-            return jnp.sum(jax.lax.fori_loop(
-                0, iters, lambda i, u: bdia_spmv(Am, u) * c, v))
+        def run(Cs, xps):
+            def body(i, xs_):
+                outs = bdia_spmv_stencil_cols(offsets, Cs, xs_, T_b)
+                return tuple(o * c for o in outs)
+            out = jax.lax.fori_loop(0, iters, body, xps)
+            return sum(jnp.sum(o) for o in out)
         return run
 
-    t_bspmv = _slope_time(mk_bspmv, (A, x))
+    xps0 = tuple(pad_vec(x[:, j], T_b) for j in range(bs))
+    t_bspmv = _slope_time(mk_bspmv, (Cstack, xps0))
     frac_bspmv = _record(f"block{bs}_bspmv", t_bspmv, bytes_stream,
                          stream_bw, nnz)
 
-    # ---- block ILU0 factor sweep (self-stable fixed point; SoA streams) ----
+    # ---- block ILU0 factor sweep (compressed substituted form: u0-only
+    # state, one batched pivoted Gauss-Jordan per sweep; each sweep carries
+    # the contraction of TWO plain Jacobi sweeps —
+    # precond/bdia_ilu0.py bdia_factor_sweeps_compressed) ----
     def mk_fact(iters):
         @jax.jit
         def run(Am, ilu):
-            out = bdia_factor_sweeps_soa(Am.offsets, pairs, d0, Am.mask,
-                                         Am.data, ilu, iters)
+            out = bdia_factor_sweeps_compressed(Am.offsets, pairs, d0,
+                                                Am.mask, Am.data, ilu, iters)
             return sum(jnp.sum(cmp) for cmp in out[d0])
         return run
 
     t_bfact = _slope_time(mk_fact, (A, data))
-    # traffic model (HBM-resident state only; upper diagonals are fixed-point
-    # pass-throughs with zero traffic, bdia_ilu0._soa_sweep):
-    #   reads: ilu[d0] for the Gauss-Jordan inverse (1) + base[d0] (1)
-    #          + per pair l_ik and shifted u_kj (2·npairs)
-    #          + per lower diagonal its base (kl) and the shifted dinv (kl)
-    #   writes: d0 and the kl lower diagonals (1 + kl)
-    # in units of nb·bs²·isz.
+    # traffic model per compressed sweep (stencil path, ops/bstencil.py):
+    #   GJ reads u0 (1) + writes dinv (1); the kernel reads the coefficient
+    #   stack (1 + 2·npairs: base0, pair-lower bases, pre-shifted uppers) +
+    #   one dinv halo fetch (1) + writes u0' (1); the final lower
+    #   materialisation is once per factorization (cancelled by the slope)
     kl = sum(1 for o in offsets if o < 0)
     npairs = len(pairs[d0])
-    bytes_bfact = (2 + 2 * npairs + 3 * kl + 1) * nb * bs * bs * isz
+    bytes_bfact = (5 + 2 * npairs) * nb * bs * bs * isz
     frac_bfact = _record(f"block{bs}_ilu0_factor", t_bfact, bytes_bfact,
                          stream_bw, nnz)
 
     # ---- block ILU0 apply sweep-pair (SoA stream sweeps) ----
     @jax.jit
     def factor8(Am):
-        ilu = bdia_factor_sweeps_soa(Am.offsets, pairs, d0, Am.mask,
-                                     Am.data, Am.data, 8)
+        ilu = bdia_factor_sweeps_compressed(Am.offsets, pairs, d0, Am.mask,
+                                            Am.data, Am.data, 8)
         dinv = _soa_gj_inverse(ilu[d0], bs, Am.mask[d0])
         return ilu, dinv
 
@@ -624,9 +645,9 @@ def main():
     if "scalar" in PARTS:
         fracs += bench_scalar()
     if "block4" in PARTS:
-        fracs += bench_block(4, int(os.environ.get("BENCH_BLOCK_G4", "96")))
+        fracs += bench_block(4, int(os.environ.get("BENCH_BLOCK_G4", "128")))
     if "block5" in PARTS:
-        fracs += bench_block(5, int(os.environ.get("BENCH_BLOCK_G5", "72")))
+        fracs += bench_block(5, int(os.environ.get("BENCH_BLOCK_G5", "96")))
     if "csr" in PARTS:
         bench_csr()
     if "solve" in PARTS:

@@ -43,7 +43,7 @@ from .dia_ilu0 import dia_pairs
 from .levels import compute_levels_lower, compute_levels_upper, level_loop
 
 __all__ = ["BlockDiaILU0Preconditioner", "bdia_factor_sweep",
-           "bdia_factor_sweeps_soa"]
+           "bdia_factor_sweeps_soa", "bdia_factor_sweeps_compressed"]
 
 
 # ------------------------------------------------------------------ SoA -----
@@ -159,6 +159,105 @@ def bdia_factor_sweep(offsets, pairs, d0, mask, base, ilu):
     return _soa_sweep(offsets, pairs, d0, mask, base, ilu, bs)
 
 
+def bdia_factor_sweeps_compressed(offsets, pairs, d0, mask, base, ilu0,
+                                  nsweeps: int):
+    """Compressed (substituted) block Chow–Patel sweeps — the block analogue
+    of the scalar ``dia_factor_sweeps_stencil`` contraction: for bands where
+    only the main diagonal carries fill pairs (``factor_stencil_eligible``),
+    substituting the lower update L_o = Â_o·(U_0[·+o])⁻¹ into the diagonal
+    update makes U_0 the ONLY evolving state,
+
+      U_0' = Â_0 − Σ_pairs mask(Â_l(o1)·inv(U_0)[·+o1]) · ub_pre_j
+
+    with one batched Gauss–Jordan per sweep and the pair-uppers pre-shifted
+    once.  Per sweep this moves ~13 block-streams instead of 18 (no lower
+    writes) and each sweep carries the contraction of TWO plain Jacobi
+    sweeps: after K sweeps the diagonal equals the plain chain at 2K and
+    the returned lowers (from the second-to-last iterate) equal it at 2K−1
+    (same characterisation as the scalar form, test_stencil.py).  Uppers
+    pass through untouched."""
+    if nsweeps <= 0:
+        return tuple(tuple(comp) for comp in ilu0)
+    bs = int(round(len(base[0]) ** 0.5))
+    assert bs * bs == len(base[0])
+    base_t = tuple(tuple(jnp.where(m, c, 0.0) for c in comp)
+                   for m, comp in zip(mask, base))
+    pairs_key = [tuple(p) for p in pairs[d0]]
+
+    # Real TPU + past-the-cliff halo + all-true diagonal mask: the sweep's
+    # shifted reads (the bs² inverse-diagonal streams at every lower
+    # offset) go through the Pallas 2-D halo-ring kernel (ops/bstencil.py)
+    from ..ops.bstencil import (
+        bdia_factor_u0_sweep_stencil,
+        bstencil_gate,
+        stack_factor_coeffs,
+    )
+
+    nb = base[0][0].shape[0]
+    isz = jnp.dtype(base[0][0].dtype).itemsize
+    gate = bstencil_gate(offsets, nb, bs * bs, isz)
+    if gate is not None and bool(np.asarray(mask[d0]).all()):
+        T, _ = gate
+        pair_offs = tuple(o1 for (_, _, o1) in pairs_key)
+        C = stack_factor_coeffs(pairs_key, d0, base_t, ilu0, bs)
+
+        def padslab(comp):
+            return jnp.pad(jnp.stack(list(comp)), ((0, 0), (T, T)))
+
+        def F(u0p):
+            rows = tuple(u0p[r, T:-T] for r in range(bs * bs))
+            dinvp = padslab(_soa_gj_inverse(rows, bs, mask[d0]))
+            return bdia_factor_u0_sweep_stencil(pair_offs, C, dinvp, bs, T)
+
+        u0p0 = padslab(ilu0[d0])
+        u0_prev_p, u0_last_p = jax.lax.fori_loop(
+            0, nsweeps, lambda i, c: (c[1], F(c[1])), (u0p0, u0p0))
+        u0_prev = tuple(u0_prev_p[r, T:-T] for r in range(bs * bs))
+        u0_last = tuple(u0_last_p[r, T:-T] for r in range(bs * bs))
+        dinv_prev = _soa_gj_inverse(u0_prev, bs, mask[d0])
+        out = []
+        for d, o in enumerate(offsets):
+            if o == 0:
+                out.append(u0_last)
+            elif o < 0:
+                low = _soa_bmm(base_t[d], dinv_prev, bs, shift=o)
+                out.append(tuple(jnp.where(mask[d], c, 0.0) for c in low))
+            else:
+                out.append(tuple(ilu0[d]))
+        return tuple(out)
+
+    # pair-uppers are fixed points — pre-shift once, amortised over sweeps
+    ub_pre = [[shift_read(c, o1) for c in ilu0[du]]
+              for (_, du, o1) in pairs_key]
+
+    def F(u0_t):
+        dinv = _soa_gj_inverse(u0_t, bs, mask[d0])
+        s = list(base_t[d0])
+        for j, (dl, du, o1) in enumerate(pairs_key):
+            low = _soa_bmm(base_t[dl], dinv, bs, shift=o1)
+            low = [jnp.where(mask[dl], c, 0.0) for c in low]
+            prod = _soa_bmm(low, ub_pre[j], bs)
+            s = [si - pi for si, pi in zip(s, prod)]
+        return tuple(jnp.where(mask[d0], c, 0.0) for c in s)
+
+    u0 = tuple(ilu0[d0])
+    u0_prev, u0_last = jax.lax.fori_loop(
+        0, nsweeps, lambda i, c: (c[1], F(c[1])), (u0, u0))
+
+    # lowers of the final state come from the previous diagonal iterate
+    dinv_prev = _soa_gj_inverse(u0_prev, bs, mask[d0])
+    out = []
+    for d, o in enumerate(offsets):
+        if o == 0:
+            out.append(u0_last)
+        elif o < 0:
+            low = _soa_bmm(base_t[d], dinv_prev, bs, shift=o)
+            out.append(tuple(jnp.where(mask[d], c, 0.0) for c in low))
+        else:
+            out.append(tuple(ilu0[d]))
+    return tuple(out)
+
+
 class _BDiaILUState(NamedTuple):
     ilu: tuple           # k × (bs² × (nb,)) SoA factor streams
     ilu_dinv: tuple      # bs² × (nb,) pre-inverted diagonal-block streams
@@ -255,11 +354,24 @@ class BlockDiaILU0Preconditioner(Preconditioner):
             ilu = self._fact_initial(base)
 
         info0 = self._nonlinear_res(base, ilu) if self.compute_precinfo else 0.0
+        from ..ops.stencil import _interpret, factor_stencil_eligible
+
         if self.nbuildsweeps == SEQUENTIAL:
             ilu = bdia_factor_sweeps_soa(A.offsets, self._pairs, self._d0,
                                          A.mask, base, ilu, 0,
                                          level=low, fact_inner=fact_inner,
                                          nlev=nlow)
+        elif (not _interpret()
+                and factor_stencil_eligible(A.offsets, self._pairs)
+                and self.fact_init != FactInit.NONE):
+            # real TPU, tensor-stencil band: the compressed substituted
+            # sweeps (u0-only state, ~2x the contraction per sweep and ~30%
+            # less HBM traffic; see bdia_factor_sweeps_compressed).  Value
+            # updates (FactInit.NONE warm starts) keep the plain per-sweep
+            # path so the prior lower factors seed the iteration.
+            ilu = bdia_factor_sweeps_compressed(
+                A.offsets, self._pairs, self._d0, A.mask, base, ilu,
+                self.nbuildsweeps)
         else:
             ilu = bdia_factor_sweeps_soa(A.offsets, self._pairs, self._d0,
                                          A.mask, base, ilu,

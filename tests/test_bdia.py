@@ -137,3 +137,32 @@ def test_bdia_end_to_end_solve(bmat):
     assert bool(info.converged)
     err = np.abs(np.asarray(x) - xref).max() / np.abs(xref).max()
     assert err < 1e-9
+
+
+def test_bdia_compressed_sweeps_characterisation(bmat):
+    """Compressed substituted block sweeps vs the plain SoA chain: after K
+    compressed sweeps the block diagonal equals the plain chain at 2K and
+    the lowers equal it at 2K−1 (same contraction law as the scalar
+    stencil factor, test_stencil.py); uppers pass through."""
+    from blasted_tpu.precond.bdia_ilu0 import (
+        bdia_factor_sweeps_compressed,
+        bdia_factor_sweeps_soa,
+    )
+    from blasted_tpu.precond.dia_ilu0 import dia_pairs
+
+    D = bdia_from_bsr(bmat)
+    offsets = D.offsets
+    pairs = dia_pairs(offsets)
+    d0 = offsets.index(0)
+    K = 2
+    comp = bdia_factor_sweeps_compressed(offsets, pairs, d0, D.mask,
+                                         D.data, D.data, K)
+    ref = {s: bdia_factor_sweeps_soa(offsets, pairs, d0, D.mask,
+                                     D.data, D.data, s)
+           for s in (2 * K - 1, 2 * K)}
+    for d, o in enumerate(offsets):
+        want = ref[2 * K][d] if o >= 0 else ref[2 * K - 1][d]
+        for c in range(len(want)):
+            np.testing.assert_allclose(np.asarray(comp[d][c]),
+                                       np.asarray(want[c]),
+                                       rtol=1e-11, atol=1e-12)

@@ -1,0 +1,132 @@
+"""Pallas block-DIA stencil kernels vs the SoA oracles (Pallas interpreter
+on CPU — the same kernel logic that runs on chip; see test_stencil.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from blasted_tpu.ops.bdia import bdia_spmv
+from blasted_tpu.ops.bstencil import (
+    bdia_factor_u0_sweep_stencil,
+    bdia_spmv_stencil_cols,
+    stack_factor_coeffs,
+    stack_spmv_coeffs,
+)
+from blasted_tpu.ops.stencil import pad_vec, stencil_plan, unpad_vec
+from blasted_tpu.precond.bdia_ilu0 import (
+    _soa_gj_inverse,
+    bdia_factor_sweeps_soa,
+)
+from blasted_tpu.precond.dia_ilu0 import dia_pairs
+from blasted_tpu.sparse.bdia import BlockDiaMatrix
+
+
+def _block_band(g, bs, seed=0):
+    nb = g ** 3
+    offsets = (-g * g, -g, -1, 0, 1, g, g * g)
+    k = len(offsets)
+    idx = np.arange(nb)
+    i0, j0, k0 = idx % g, (idx // g) % g, idx // (g * g)
+    mask_np = np.stack([k0 > 0, j0 > 0, i0 > 0, np.ones(nb, bool),
+                        i0 < g - 1, j0 < g - 1, k0 < g - 1])
+    rng = np.random.default_rng(seed)
+    data = []
+    for d in range(k):
+        comp = []
+        for i in range(bs):
+            for j in range(bs):
+                v = 0.25 * rng.standard_normal(nb)
+                if offsets[d] == 0 and i == j:
+                    v = v + 2.0 * k
+                comp.append(jnp.asarray(
+                    np.where(mask_np[d], v, 0.0).astype(np.float32)))
+        data.append(tuple(comp))
+    mask = tuple(jnp.asarray(mask_np[d]) for d in range(k))
+    return BlockDiaMatrix(data=tuple(data), mask=mask, offsets=offsets)
+
+
+def test_bstencil_spmv_matches_soa():
+    g, bs = 16, 4
+    A = _block_band(g, bs)
+    nb = A.nbrows
+    T, _ = stencil_plan(A.offsets, nb)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((nb, bs)),
+                    dtype=jnp.float32)
+    C = stack_spmv_coeffs(A.offsets, A.data, bs)
+    xps = tuple(pad_vec(x[:, j], T) for j in range(bs))
+    outs = bdia_spmv_stencil_cols(A.offsets, C, xps, T)
+    # padded-frame contract: pad tiles exactly zero
+    for o in outs:
+        np.testing.assert_array_equal(np.asarray(o[:T]), 0.0)
+        np.testing.assert_array_equal(np.asarray(o[-T:]), 0.0)
+    y = np.stack([np.asarray(unpad_vec(o, T)) for o in outs], axis=1)
+    yref = np.asarray(bdia_spmv(A, x))
+    np.testing.assert_allclose(y, yref, rtol=3e-5, atol=3e-5)
+
+
+def test_bstencil_factor_u0_sweep_matches_compressed_step():
+    """One kernel sweep == one substituted update F(u0) computed with the
+    plain SoA ops (the compressed chain's step; bdia_ilu0)."""
+    from blasted_tpu.precond.bdia_ilu0 import _soa_bmm
+
+    g, bs = 16, 3
+    A = _block_band(g, bs, seed=5)
+    nb = A.nbrows
+    offsets = A.offsets
+    d0 = offsets.index(0)
+    pairs = dia_pairs(offsets)
+    pairs_key = [tuple(p) for p in pairs[d0]]
+    pair_offs = tuple(o1 for (_, _, o1) in pairs_key)
+    T, _ = stencil_plan(offsets, nb)
+    base_t = tuple(tuple(c for c in comp) for comp in A.data)
+
+    C = stack_factor_coeffs(pairs_key, d0, base_t, A.data, bs)
+    u0 = A.data[d0]
+    dinv = _soa_gj_inverse(u0, bs, A.mask[d0])
+    dinvp = jnp.pad(jnp.stack(list(dinv)), ((0, 0), (T, T)))
+    outp = bdia_factor_u0_sweep_stencil(pair_offs, C, dinvp, bs, T)
+    got = [np.asarray(outp[r, T:-T]) for r in range(bs * bs)]
+
+    # oracle: u0' = base0 − Σ_p (base_l·dinv[·+o1])·ub_pre
+    from blasted_tpu.sparse.dia import shift_read
+    want = [np.asarray(c) for c in base_t[d0]]
+    for (dl, du, o1) in pairs_key:
+        low = _soa_bmm(base_t[dl], dinv, bs, shift=o1)
+        ub_pre = [shift_read(c, o1) for c in base_t[du]]
+        prod = _soa_bmm(low, ub_pre, bs)
+        want = [w - np.asarray(p) for w, p in zip(want, prod)]
+    for r in range(bs * bs):
+        np.testing.assert_allclose(got[r], want[r], rtol=3e-5, atol=3e-5)
+
+
+def test_bstencil_full_compressed_chain_on_interpreter():
+    """Drive the production compressed chain through the stencil kernel by
+    monkeypatching the gate (CPU interpreter), and check the 2K/2K−1
+    characterisation against plain SoA sweeps."""
+    import blasted_tpu.ops.bstencil as bst
+    import blasted_tpu.precond.bdia_ilu0 as bi
+
+    g, bs = 16, 4
+    A = _block_band(g, bs, seed=9)
+    offsets = A.offsets
+    d0 = offsets.index(0)
+    pairs = dia_pairs(offsets)
+    T, nt = stencil_plan(offsets, A.nbrows)
+
+    orig = bst.bstencil_gate
+    bst.bstencil_gate = lambda *a, **k: (T, nt)
+    try:
+        K = 2
+        comp = bi.bdia_factor_sweeps_compressed(offsets, pairs, d0, A.mask,
+                                                A.data, A.data, K)
+    finally:
+        bst.bstencil_gate = orig
+    ref = {s: bdia_factor_sweeps_soa(offsets, pairs, d0, A.mask,
+                                     A.data, A.data, s)
+           for s in (2 * K - 1, 2 * K)}
+    for d, o in enumerate(offsets):
+        want = ref[2 * K][d] if o >= 0 else ref[2 * K - 1][d]
+        for c in range(bs * bs):
+            np.testing.assert_allclose(np.asarray(comp[d][c]),
+                                       np.asarray(want[c]),
+                                       rtol=3e-5, atol=3e-5)
