@@ -458,7 +458,8 @@ def bench_block(bs: int, g: int):
         @jax.jit
         def run(Am, ilu):
             out = bdia_factor_sweeps_compressed(Am.offsets, pairs, d0,
-                                                Am.mask, Am.data, ilu, iters)
+                                                Am.mask, Am.data, ilu, iters,
+                                                diag_mask_full=True)
             return sum(jnp.sum(cmp) for cmp in out[d0])
         return run
 
@@ -478,7 +479,8 @@ def bench_block(bs: int, g: int):
     @jax.jit
     def factor8(Am):
         ilu = bdia_factor_sweeps_compressed(Am.offsets, pairs, d0, Am.mask,
-                                            Am.data, Am.data, 8)
+                                            Am.data, Am.data, 8,
+                                            diag_mask_full=True)
         dinv = _soa_gj_inverse(ilu[d0], bs, Am.mask[d0])
         return ilu, dinv
 

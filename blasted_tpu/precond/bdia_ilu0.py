@@ -160,7 +160,8 @@ def bdia_factor_sweep(offsets, pairs, d0, mask, base, ilu):
 
 
 def bdia_factor_sweeps_compressed(offsets, pairs, d0, mask, base, ilu0,
-                                  nsweeps: int):
+                                  nsweeps: int,
+                                  diag_mask_full: bool | None = None):
     """Compressed (substituted) block Chow–Patel sweeps — the block analogue
     of the scalar ``dia_factor_sweeps_stencil`` contraction: for bands where
     only the main diagonal carries fill pairs (``factor_stencil_eligible``),
@@ -196,7 +197,12 @@ def bdia_factor_sweeps_compressed(offsets, pairs, d0, mask, base, ilu0,
     nb = base[0][0].shape[0]
     isz = jnp.dtype(base[0][0].dtype).itemsize
     gate = bstencil_gate(offsets, nb, bs * bs, isz)
-    if gate is not None and bool(np.asarray(mask[d0]).all()):
+    if diag_mask_full is None:
+        try:  # concrete mask: check; traced (inside jit): assume not full
+            diag_mask_full = bool(np.asarray(mask[d0]).all())
+        except jax.errors.TracerArrayConversionError:
+            diag_mask_full = False
+    if gate is not None and diag_mask_full:
         T, _ = gate
         pair_offs = tuple(o1 for (_, _, o1) in pairs_key)
         C = stack_factor_coeffs(pairs_key, d0, base_t, ilu0, bs)
