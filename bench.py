@@ -649,16 +649,32 @@ def bench_solve():
 
 def main():
     fracs = []
+
+    def guarded(name, fn, *args):
+        """One failed section must not lose the whole record: note the
+        failure in the detail, count a 0.0 toward the min (a crash is worse
+        than any slow kernel), and keep going."""
+        try:
+            return fn(*args) or []
+        except Exception as e:                      # noqa: BLE001
+            import traceback
+            traceback.print_exc()
+            DETAIL[f"{name}_FAILED"] = repr(e)[:300]
+            print(f"[{name}] SECTION FAILED: {e!r}", file=sys.stderr)
+            return [0.0]
+
     if "scalar" in PARTS:
-        fracs += bench_scalar()
+        fracs += guarded("scalar", bench_scalar)
     if "block4" in PARTS:
-        fracs += bench_block(4, int(os.environ.get("BENCH_BLOCK_G4", "128")))
+        fracs += guarded("block4", bench_block, 4,
+                         int(os.environ.get("BENCH_BLOCK_G4", "128")))
     if "block5" in PARTS:
-        fracs += bench_block(5, int(os.environ.get("BENCH_BLOCK_G5", "96")))
+        fracs += guarded("block5", bench_block, 5,
+                         int(os.environ.get("BENCH_BLOCK_G5", "96")))
     if "csr" in PARTS:
-        bench_csr()
+        guarded("csr", bench_csr)
     if "solve" in PARTS:
-        bench_solve()
+        guarded("solve", bench_solve)
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "bench_detail.json")

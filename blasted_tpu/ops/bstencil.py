@@ -234,6 +234,8 @@ def stack_factor_coeffs(pairs_key, d0, base_t, ub_src, bs: int) -> jax.Array:
         rows.extend(base_t[dl])
     for (_, du, o1) in pairs_key:
         rows.extend(shift_read(c, o1) for c in ub_src[du])
+    zero = jnp.zeros_like(rows[0])
+    rows.extend([zero] * (_g8(len(rows)) - len(rows)))
     return jnp.stack(rows)
 
 
@@ -252,14 +254,15 @@ def _bfactor_u0_call(pair_offs: tuple, bs: int, nb: int, T: int,
     (CLAUDE.md Pallas #4)."""
     npair = len(pair_offs)
     b2 = bs * bs
-    R = b2 * (1 + 2 * npair)
+    B8 = _g8(b2)          # slab rows padded to the (8, 128) sublane tiling
+    R = _g8(b2 * (1 + 2 * npair))
     nt = nb // T
     dt = jnp.dtype(dtype_name)
 
     def kernel(C, dinvp, out, xbuf, sems):
         tt = pl.program_id(0)
         ntp = pl.num_programs(0)
-        ws = _ring_window2d(dinvp, xbuf, sems, tt, ntp, b2, T)
+        ws = _ring_window2d(dinvp, xbuf, sems, tt, ntp, B8, T)
 
         real = (tt >= 1) & (tt <= ntp - 2)
 
@@ -285,23 +288,25 @@ def _bfactor_u0_call(pair_offs: tuple, bs: int, nb: int, T: int,
                         acc[i * bs + j] = acc[i * bs + j] - t_
             for r in range(b2):
                 out[r, :] = acc[r]
+            for r in range(b2, B8):
+                out[r, :] = jnp.zeros((T,), dt)
 
         @pl.when(jnp.logical_not(real))
         def _():
-            for r in range(b2):
+            for r in range(B8):
                 out[r, :] = jnp.zeros((T,), dt)
 
     cspec = pl.BlockSpec((R, T), lambda tt: (0, jnp.clip(tt - 1, 0, nt - 1)),
                          memory_space=pltpu.VMEM)
-    pspec2 = pl.BlockSpec((b2, T), lambda tt: (0, tt),
+    pspec2 = pl.BlockSpec((B8, T), lambda tt: (0, tt),
                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(nt + 2,),
         in_specs=[cspec, pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pspec2,
-        out_shape=jax.ShapeDtypeStruct((b2, nb + 2 * T), dt),
-        scratch_shapes=[pltpu.VMEM((b2, _NBUF * T), dt),
+        out_shape=jax.ShapeDtypeStruct((B8, nb + 2 * T), dt),
+        scratch_shapes=[pltpu.VMEM((B8, _NBUF * T), dt),
                         pltpu.SemaphoreType.DMA((_NBUF,))],
         interpret=_interpret(),
         compiler_params=None if _interpret() else pltpu.CompilerParams(

@@ -207,8 +207,11 @@ def bdia_factor_sweeps_compressed(offsets, pairs, d0, mask, base, ilu0,
         pair_offs = tuple(o1 for (_, _, o1) in pairs_key)
         C = stack_factor_coeffs(pairs_key, d0, base_t, ilu0, bs)
 
+        b2 = bs * bs
+        b8 = -(-b2 // 8) * 8   # slab rows padded to the sublane tiling
+
         def padslab(comp):
-            return jnp.pad(jnp.stack(list(comp)), ((0, 0), (T, T)))
+            return jnp.pad(jnp.stack(list(comp)), ((0, b8 - b2), (T, T)))
 
         def F(u0p):
             rows = tuple(u0p[r, T:-T] for r in range(bs * bs))

@@ -83,7 +83,9 @@ def test_bstencil_factor_u0_sweep_matches_compressed_step():
     C = stack_factor_coeffs(pairs_key, d0, base_t, A.data, bs)
     u0 = A.data[d0]
     dinv = _soa_gj_inverse(u0, bs, A.mask[d0])
-    dinvp = jnp.pad(jnp.stack(list(dinv)), ((0, 0), (T, T)))
+    b8 = -(-(bs * bs) // 8) * 8
+    dinvp = jnp.pad(jnp.stack(list(dinv)),
+                    ((0, b8 - bs * bs), (T, T)))
     outp = bdia_factor_u0_sweep_stencil(pair_offs, C, dinvp, bs, T)
     got = [np.asarray(outp[r, T:-T]) for r in range(bs * bs)]
 
