@@ -58,13 +58,32 @@ def bstencil_gate(offsets, nb: int, bs: int, itemsize: int = 4):
     HALF the scalar one: with bs interleaved shifted operands plus the
     k·bs² coefficient streams contending for the same on-chip window, the
     fused path already drops to 0.41 of stream at a 512 KB window (bs=4,
-    g=128 measured) where the scalar kernel still ran at 0.93."""
+    g=128 measured) where the scalar kernel still ran at 0.93.
+
+    The VMEM check sizes the *block* kernels' real footprint (the widest of
+    the SpMV and factor coefficient slabs, double-buffered, plus rings and
+    output slabs) against the raised per-kernel limit — the scalar plan's
+    12 MB/k-stream model undercounts the slabs by ~bs² (ADVICE r4)."""
     if _interpret():
         return None
     H = max((abs(o) for o in offsets), default=0)
     if bs * 2 * H * itemsize <= 256 * 1024:
         return None
-    return stencil_plan(tuple(offsets), nb, itemsize)
+    plan = stencil_plan(tuple(offsets), nb, itemsize)  # shape/divisibility
+    if plan is None:
+        return None
+    T, nt = plan
+    k = len(offsets)
+    kl = sum(1 for o in offsets if o < 0)
+    b2 = bs * bs
+    # widest slab: SpMV coefficients (bs·G8 rows) vs factor stack
+    # (b2·(1+2·npairs) rows, npairs ≤ kl); + dinv ring + out slabs + window
+    slab_rows = max(bs * _g8(k * bs), _g8(b2 * (1 + 2 * kl)))
+    vmem = (2 * slab_rows + _NBUF * _g8(b2) + 2 * 2 * _g8(b2)
+            + _g8(k * bs)) * T * itemsize
+    if vmem > 80 * 1024 * 1024:     # kernels raise the limit to 100 MB
+        return None
+    return plan
 
 
 def stack_spmv_coeffs(offsets, data, bs: int) -> jax.Array:
@@ -170,7 +189,7 @@ def bdia_spmv_stencil(A, x: jax.Array, plan) -> jax.Array:
 
 # ------------------------------------------------------------- factor -------
 
-def _ring_window2d(xp_ref, xbuf, sems, tt, ntp, R, T):
+def _ring_window2d(xp_ref, xbuf, sems, tt, ntp, T):
     """2-D halo ring: same DMA protocol as ops.stencil._ring_window but over
     (R, T) slabs of an (R, n+2T) HBM array, slots on the LANE axis of an
     (R, 4T) scratch.  Returns ``wslice(row, o)`` for o ∈ [−T, 0] (the factor
@@ -262,7 +281,7 @@ def _bfactor_u0_call(pair_offs: tuple, bs: int, nb: int, T: int,
     def kernel(C, dinvp, out, xbuf, sems):
         tt = pl.program_id(0)
         ntp = pl.num_programs(0)
-        ws = _ring_window2d(dinvp, xbuf, sems, tt, ntp, B8, T)
+        ws = _ring_window2d(dinvp, xbuf, sems, tt, ntp, T)
 
         real = (tt >= 1) & (tt <= ntp - 2)
 

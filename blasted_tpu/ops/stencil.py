@@ -20,6 +20,16 @@ bench chains) pay zero repacking between applications.
 (reference: this replaces the hot loops of src/blas/matvecs.cpp:24-75 and
 kernels_sgs/ilu_apply on banded storage; no counterpart exists in the
 reference — it is a consequence of the TPU memory hierarchy, SURVEY.md §7.)
+
+Lessons from the superseded round-1 experiment (ops/pallas/dia_kernels.py,
+retired in round 5): (a) Mosaic cannot slice a stacked scratch buffer on the
+slot (sublane) axis — ring slots must live on the flat/lane axis (see
+``_ring_window``/``_ring_window2d``); (b) an even/odd two-buffer window with
+one DMA per grid step loses to the 4-slot ring + 1-tile lookahead because
+the tail tile's wait has nothing in flight; (c) a (k, n) stacked coefficient
+array forces sublane-strided per-diagonal reads — coefficients stream either
+as separate (n,) operands (scalar) or as one sublane-aligned row-stacked
+slab (block kernels, ops/bstencil.py).
 """
 
 from __future__ import annotations

@@ -219,9 +219,15 @@ class DiaILU0Preconditioner(Preconditioner):
                             extra_streams=6)
         if (self.nbuildsweeps != SEQUENTIAL and gate is not None
                 and factor_stencil_eligible(offsets, pairs)
-                and mask_t[d0] is None):
+                and mask_t[d0] is None
+                and self.fact_init != FactInit.NONE):
             # large-halo band on a real TPU: the fused Pallas factor sweep
-            # (padded-frame chaining; ops/stencil.py)
+            # (padded-frame chaining; ops/stencil.py).  NOTE the compressed
+            # sweep carries TWO plain sweeps' contraction per configured
+            # sweep (K -> 2K semantics, test_stencil.py) and seeds its
+            # lower chain from the base values only, so FactInit.NONE warm
+            # starts (value updates re-using the previous factors) keep the
+            # plain per-sweep path — mirroring the block gate below.
             ilu_t = dia_factor_sweeps_stencil(
                 offsets, pairs, d0, base_t, ilu_t, self.nbuildsweeps,
                 gate[0])
