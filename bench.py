@@ -53,6 +53,49 @@ PARTS = os.environ.get("BENCH_PARTS", "scalar,block4,block5,csr,solve").split(",
 
 DETAIL = {}
 
+# Run-config stamp attached to every detail entry: entries merged from an
+# older bench_detail.json are recognisable (and invalidated by
+# scripts/gen_results.py) when their stamp disagrees with the current
+# configuration (VERDICT r4 weak #3).
+STAMP = {
+    "i1": I1, "i2": I2, "reps": REPS,
+    "scalar_g": int(os.environ.get("BENCH_SCALAR_G", "320")),
+    "block_g4": int(os.environ.get("BENCH_BLOCK_G4", "128")),
+    "block_g5": int(os.environ.get("BENCH_BLOCK_G5", "96")),
+    "npts": int(os.environ.get("BENCH_NPTS", "162")),
+}
+
+
+def _flush(fracs):
+    """Write bench_detail.json and print the summary line NOW — called
+    after every section so a mid-run timeout still leaves both a parseable
+    driver record and a current detail file (last write wins; VERDICT r4
+    #2).  Sections that have not run yet simply don't contribute to the
+    min."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_detail.json")
+    try:                       # merge so partial (BENCH_PARTS) runs compose
+        merged = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                merged = json.load(f)
+        merged.update(DETAIL)
+        merged["_stamp"] = STAMP
+        with open(path, "w") as f:
+            json.dump(merged, f, indent=1, sort_keys=True)
+    except (OSError, ValueError):
+        pass
+    value = min(fracs) if fracs else 0.0
+    print(json.dumps({
+        "metric": "min_roofline_fraction(scalar+block{spmv,ilu0_factor,"
+                  "ilu0_apply})",
+        "value": round(float(value), 4),
+        "unit": "fraction_of_measured_streaming_bandwidth",
+        "vs_baseline": round(float(value / 0.70), 4),
+    }))
+    sys.stdout.flush()
+    sys.stderr.flush()
+
 
 def _slope_time(make_run, args, i1=None, i2=None, reps=None):
     """Best-of-REPS call times at two iteration counts; return slope s/iter."""
@@ -83,6 +126,7 @@ def _record(name, t, bytes_model, stream_bw, nnz=None):
         "bytes_model": int(bytes_model),
         "frac_measured_stream": round(frac, 4),
         "frac_spec_hbm": round(spec, 4),
+        "stamp": STAMP,
     }
     if nnz is not None:
         DETAIL[name]["gnnz_per_s"] = round(nnz / t / 1e9, 3)
@@ -174,6 +218,7 @@ def bench_scalar():
         "ms_per_iter": round(t_stream * 1e3, 4),
         "gb_per_s": round(stream_bw / 1e9, 1),
         "frac_spec_hbm": round(stream_bw / HBM_BW, 4),
+        "stamp": STAMP,
     }
     print(f"[scalar] stream roofline: {t_stream*1e3:.3f} ms/iter -> "
           f"{stream_bw/1e9:.0f} GB/s ({stream_bw/HBM_BW:.2f} of spec)",
@@ -416,6 +461,7 @@ def bench_block(bs: int, g: int):
         "ms_per_iter": round(t_stream * 1e3, 4),
         "gb_per_s": round(stream_bw / 1e9, 1),
         "frac_spec_hbm": round(stream_bw / HBM_BW, 4),
+        "stamp": STAMP,
     }
     print(f"[block{bs}] stream roofline: {t_stream*1e3:.3f} ms/iter -> "
           f"{stream_bw/1e9:.0f} GB/s ({stream_bw/HBM_BW:.2f} of spec)",
@@ -464,14 +510,17 @@ def bench_block(bs: int, g: int):
         return run
 
     t_bfact = _slope_time(mk_fact, (A, data))
-    # traffic model per compressed sweep (stencil path, ops/bstencil.py):
-    #   GJ reads u0 (1) + writes dinv (1); the kernel reads the coefficient
-    #   stack (1 + 2·npairs: base0, pair-lower bases, pre-shifted uppers) +
-    #   one dinv halo fetch (1) + writes u0' (1); the final lower
-    #   materialisation is once per factorization (cancelled by the slope)
+    # traffic model per compressed sweep (fused stencil path, round 5 —
+    # ops/bstencil.py _bfactor_call(out_dinv=True)): ONE kernel maps
+    # Dinv_{k-1} → Dinv_k with the contraction AND the pivoted Gauss–Jordan
+    # fused in-kernel, reading the coefficient stack (1 + 2·npairs: base0,
+    # pair-lower bases, pre-shifted uppers) + one Dinv halo fetch (1) +
+    # writing Dinv_k (1).  The initial XLA GJ, the final u0-output sweep
+    # and the lower materialisation are once per factorization (cancelled
+    # by the slope).
     kl = sum(1 for o in offsets if o < 0)
     npairs = len(pairs[d0])
-    bytes_bfact = (5 + 2 * npairs) * nb * bs * bs * isz
+    bytes_bfact = (3 + 2 * npairs) * nb * bs * bs * isz
     frac_bfact = _record(f"block{bs}_ilu0_factor", t_bfact, bytes_bfact,
                          stream_bw, nnz)
 
@@ -640,6 +689,7 @@ def bench_solve():
         "maxiter": maxiter,
         "napplysweeps": napply,
         "gnnz_iters_per_s": round(nnz * iters / best / 1e9, 3),
+        "stamp": STAMP,
     }
     print(f"[solve] BiCGSTAB+ILU0({napply} sweeps) n={D.nrows}: "
           f"{best:.3f} s, {iters} iters, converged={bool(info.converged)} "
@@ -663,43 +713,30 @@ def main():
             print(f"[{name}] SECTION FAILED: {e!r}", file=sys.stderr)
             return [0.0]
 
+    # headline sections first (the nine min-contributing kernels), detail
+    # sections after; the summary line + detail file are flushed after
+    # EVERY section so a driver timeout still leaves a passing record of
+    # everything that ran (VERDICT r4 #2)
     if "scalar" in PARTS:
         fracs += guarded("scalar", bench_scalar)
+        _flush(fracs)
     if "block4" in PARTS:
         fracs += guarded("block4", bench_block, 4,
                          int(os.environ.get("BENCH_BLOCK_G4", "128")))
+        _flush(fracs)
     if "block5" in PARTS:
         fracs += guarded("block5", bench_block, 5,
                          int(os.environ.get("BENCH_BLOCK_G5", "96")))
+        _flush(fracs)
     if "csr" in PARTS:
         guarded("csr", bench_csr)
+        _flush(fracs)
     if "solve" in PARTS:
         guarded("solve", bench_solve)
+        _flush(fracs)
 
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "bench_detail.json")
-    try:                       # merge so partial (BENCH_PARTS) runs compose
-        merged = {}
-        if os.path.exists(path):
-            with open(path) as f:
-                merged = json.load(f)
-        merged.update(DETAIL)
-        with open(path, "w") as f:
-            json.dump(merged, f, indent=1, sort_keys=True)
-    except (OSError, ValueError):
-        pass
     print(json.dumps(DETAIL, indent=1, sort_keys=True), file=sys.stderr)
-
-    value = min(fracs) if fracs else 0.0
-    print(json.dumps({
-        "metric": "min_roofline_fraction(scalar+block{spmv,ilu0_factor,"
-                  "ilu0_apply})",
-        "value": round(float(value), 4),
-        "unit": "fraction_of_measured_streaming_bandwidth",
-        "vs_baseline": round(float(value / 0.70), 4),
-    }))
-    sys.stdout.flush()
-    sys.stderr.flush()
+    _flush(fracs)
     os._exit(0)  # skip the axon relay's shutdown stall
 
 

@@ -310,15 +310,21 @@ class DistBlockDiaSolver:
         self.settings = settings or AsyncSolverSettings(
             prec_type=PrecType.JACOBI)
         self._ax = row_axes(mesh)
+        # host-resolved BEFORE the masks go to device: inside shard_map the
+        # mask is traced, so the stencil-factor route must be decided here
+        # (static flag on the container; VERDICT r4 #5)
+        self._diag_mask_full = B.resolved_diag_mask_full()
         sh1 = NamedSharding(mesh, P(self._ax))
         self.data = jax.device_put(B.data, sh1)   # SoA component streams
         self.mask = jax.device_put(B.mask, sh1)
         self._compute()
 
     def _compute(self):
+        from ..ops.stencil import _interpret, factor_stencil_eligible
         from ..precond.bdia_ilu0 import (
             _soa_bmm,
             _soa_gj_inverse,
+            bdia_factor_sweeps_compressed,
             bdia_factor_sweeps_soa,
         )
         from ..precond.dia_ilu0 import dia_pairs
@@ -333,6 +339,14 @@ class DistBlockDiaSolver:
         pairs = dia_pairs(offsets)
         nsweeps = max(s.nbuildsweeps, 1)
         nl, bs = self.nl, self.bs
+        # Shard-local stencil-factor route: the local d0 mask equals the
+        # global one (offset 0 never crosses a shard boundary), so the
+        # host-resolved static flag carries into every shard.  Mirrors the
+        # local BlockDiaILU0Preconditioner gate (K -> 2K sweep semantics on
+        # the compressed path, real TPU only).
+        use_stencil = (not _interpret()
+                       and factor_stencil_eligible(offsets, pairs)
+                       and bool(self._diag_mask_full))
 
         ax = self._ax
         ngrows = nl * bs * int(self.mesh.devices.size)
@@ -352,8 +366,13 @@ class DistBlockDiaSolver:
             if t in (PrecType.JACOBI, PrecType.GS, PrecType.SGS):
                 dinv = _soa_gj_inverse(base[d0], bs, mask_l[d0])
                 return base, dinv, info6
-            ilu = bdia_factor_sweeps_soa(offsets, pairs, d0, mask_l,
-                                         base, base, nsweeps)
+            if use_stencil:
+                ilu = bdia_factor_sweeps_compressed(
+                    offsets, pairs, d0, mask_l, base, base, nsweeps,
+                    diag_mask_full=True)
+            else:
+                ilu = bdia_factor_sweeps_soa(offsets, pairs, d0, mask_l,
+                                             base, base, nsweeps)
             dinv = _soa_gj_inverse(ilu[d0], bs, mask_l[d0])
             if s.compute_precinfo:
                 # block remainder + block diag dominance, reduced across

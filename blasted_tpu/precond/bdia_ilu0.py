@@ -68,35 +68,17 @@ def _soa_gj_inverse(a, bs: int, dmask):
     """Batched pivoted Gauss-Jordan on component tuples — every step an
     elementwise op over (nb,) lanes (cf. ops.sweeps._gauss_jordan_inverse,
     the AoS form used for non-DIA storage).  ``dmask`` (nb,) marks stored
-    diagonal blocks; masked rows invert the identity."""
-    nb = a[0].shape[0]
-    dt = a[0].dtype
-    one = jnp.ones((nb,), dt)
-    zero = jnp.zeros((nb,), dt)
-    M = [[jnp.where(dmask, a[i * bs + j], one if i == j else zero)
-          for j in range(bs)]
-         + [one if i == j else zero for j in range(bs)]
-         for i in range(bs)]
-    for col in range(bs):
-        cand = jnp.stack([jnp.abs(M[r][col]) for r in range(col, bs)])
-        rsel = jnp.argmax(cand, axis=0)                      # (nb,)
-        w = [rsel == (r - col) for r in range(col, bs)]      # one-hot masks
-        pivrow = [sum(jnp.where(w[r - col], M[r][j], 0.0)
-                      for r in range(col, bs)) for j in range(2 * bs)]
-        currow = list(M[col])
-        for r in range(col, bs):
-            M[r] = [jnp.where(w[r - col], currow[j], M[r][j])
-                    for j in range(2 * bs)]
-        d = pivrow[col]
-        dinv = 1.0 / jnp.where(d == 0, one, d)
-        pn = [pivrow[j] * dinv for j in range(2 * bs)]
-        for r in range(bs):
-            if r == col:
-                M[r] = pn
-            else:
-                f = M[r][col]
-                M[r] = [M[r][j] - f * pn[j] for j in range(2 * bs)]
-    return tuple(M[i][bs + j] for i in range(bs) for j in range(bs))
+    diagonal blocks; masked rows invert the identity.  Delegates to
+    ops.bstencil.gj_inverse_rows — the SAME elimination code the fused
+    Pallas factor kernel runs on (T,) tiles, so the XLA and stencil factor
+    paths stay numerically identical."""
+    from ..ops.bstencil import gj_inverse_rows
+
+    one = jnp.ones_like(a[0])
+    zero = jnp.zeros_like(a[0])
+    rows = [jnp.where(dmask, a[i * bs + j], one if i == j else zero)
+            for i in range(bs) for j in range(bs)]
+    return gj_inverse_rows(rows, bs)
 
 
 def _soa_sweep(offsets, pairs, d0, mask, base_t, ilu_t, bs: int):
@@ -185,18 +167,25 @@ def bdia_factor_sweeps_compressed(offsets, pairs, d0, mask, base, ilu0,
                    for m, comp in zip(mask, base))
     pairs_key = [tuple(p) for p in pairs[d0]]
 
-    # Real TPU + past-the-cliff halo + all-true diagonal mask: the sweep's
-    # shifted reads (the bs² inverse-diagonal streams at every lower
-    # offset) go through the Pallas 2-D halo-ring kernel (ops/bstencil.py)
+    # Real TPU + past-the-cliff halo + all-true diagonal mask: the whole
+    # factorization runs as ONE Pallas kernel per sweep with the INVERSE
+    # diagonal as the evolving state — the contraction U0_k = F(Dinv_{k-1})
+    # and the batched pivoted Gauss–Jordan Dinv_k = GJ(U0_k) are fused
+    # in-kernel (ops/bstencil.py _bfactor_call), so no XLA work (and no
+    # slab↔tuple glue) happens between sweeps.  Round 4's form — u0 as the
+    # state, per-sweep XLA GJ + pad/stack — measured the GJ+glue at ~75%
+    # of the sweep wall-clock (VERDICT r4 #1).
     from ..ops.bstencil import (
+        bdia_factor_dinv_sweep_stencil,
         bdia_factor_u0_sweep_stencil,
         bstencil_gate,
         stack_factor_coeffs,
     )
+    from ..ops.stencil import pad_vec, unpad_vec
 
     nb = base[0][0].shape[0]
     isz = jnp.dtype(base[0][0].dtype).itemsize
-    gate = bstencil_gate(offsets, nb, bs * bs, isz)
+    gate = bstencil_gate(offsets, nb, bs * bs, isz, kind="factor")
     if diag_mask_full is None:
         try:  # concrete mask: check; traced (inside jit): assume not full
             diag_mask_full = bool(np.asarray(mask[d0]).all())
@@ -207,23 +196,25 @@ def bdia_factor_sweeps_compressed(offsets, pairs, d0, mask, base, ilu0,
         pair_offs = tuple(o1 for (_, _, o1) in pairs_key)
         C = stack_factor_coeffs(pairs_key, d0, base_t, ilu0, bs)
 
-        b2 = bs * bs
-        b8 = -(-b2 // 8) * 8   # slab rows padded to the sublane tiling
-
-        def padslab(comp):
-            return jnp.pad(jnp.stack(list(comp)), ((0, b8 - b2), (T, T)))
-
-        def F(u0p):
-            rows = tuple(u0p[r, T:-T] for r in range(bs * bs))
-            dinvp = padslab(_soa_gj_inverse(rows, bs, mask[d0]))
-            return bdia_factor_u0_sweep_stencil(pair_offs, C, dinvp, bs, T)
-
-        u0p0 = padslab(ilu0[d0])
-        u0_prev_p, u0_last_p = jax.lax.fori_loop(
-            0, nsweeps, lambda i, c: (c[1], F(c[1])), (u0p0, u0p0))
-        u0_prev = tuple(u0_prev_p[r, T:-T] for r in range(bs * bs))
-        u0_last = tuple(u0_last_p[r, T:-T] for r in range(bs * bs))
-        dinv_prev = _soa_gj_inverse(u0_prev, bs, mask[d0])
+        # Dinv_0 = GJ(U0_0) once in XLA; then K−1 fused Dinv→Dinv sweeps
+        # and one U0-output sweep for the final iterate — K kernel calls
+        # total, each moving (3 + 2·npairs) block-streams as b2 padded
+        # 1-D streams (zero repacking between sweeps).  The u0 iterates
+        # are identical to the u0-state chain (same F, same GJ code —
+        # gj_inverse_rows is shared), so the 2K/2K−1 plain-chain
+        # characterisation (test_bstencil.py) is unchanged.
+        dinvp0 = tuple(pad_vec(c, T)
+                       for c in _soa_gj_inverse(ilu0[d0], bs, mask[d0]))
+        dinvp_prev = jax.lax.fori_loop(
+            0, nsweeps - 1,
+            lambda i, dp: bdia_factor_dinv_sweep_stencil(pair_offs, C, dp,
+                                                         bs, T),
+            dinvp0)
+        u0_last = tuple(
+            unpad_vec(c, T)
+            for c in bdia_factor_u0_sweep_stencil(pair_offs, C,
+                                                  dinvp_prev, bs, T))
+        dinv_prev = tuple(unpad_vec(c, T) for c in dinvp_prev)
         out = []
         for d, o in enumerate(offsets):
             if o == 0:
@@ -292,6 +283,9 @@ class BlockDiaILU0Preconditioner(Preconditioner):
         self._d0 = mat.offsets.index(0)
         self._pairs = dia_pairs(mat.offsets)
         self._levels = None
+        # resolved eagerly at construction (host) so the stencil-route gate
+        # stays static under jit/shard_map (VERDICT r4 #5, ADVICE r4)
+        self._diag_mask_full = mat.resolved_diag_mask_full()
 
     def _build_levels(self):
         if self._levels is None:
@@ -380,7 +374,7 @@ class BlockDiaILU0Preconditioner(Preconditioner):
             # path so the prior lower factors seed the iteration.
             ilu = bdia_factor_sweeps_compressed(
                 A.offsets, self._pairs, self._d0, A.mask, base, ilu,
-                self.nbuildsweeps)
+                self.nbuildsweeps, diag_mask_full=self._diag_mask_full)
         else:
             ilu = bdia_factor_sweeps_soa(A.offsets, self._pairs, self._d0,
                                          A.mask, base, ilu,

@@ -80,6 +80,13 @@ class BlockDiaMatrix:
     data: tuple                    # k × (bs² × (nbrows,)) component streams
     mask: tuple                    # k × (nbrows,) bool
     offsets: tuple = field(metadata=dict(static=True))
+    # Host-computed "main-diagonal mask is all-True" flag, carried as STATIC
+    # pytree metadata so jitted/vmapped/shard-mapped setups (the distributed
+    # path) can still take the Pallas stencil factor route — a traced mask
+    # cannot be inspected at trace time (VERDICT r4 #5).  None = unknown
+    # (resolved lazily on concrete masks by resolved_diag_mask_full).
+    diag_mask_full: bool | None = field(default=None,
+                                        metadata=dict(static=True))
 
     @property
     def nbrows(self) -> int:
@@ -120,6 +127,33 @@ class BlockDiaMatrix:
         """Kernel value operand (SoA streams here; see DiaMatrix.vals_pad)."""
         return self.data
 
+    def stacked_spmv_coeffs(self) -> jax.Array:
+        """The stencil SpMV kernel's (bs·G8, nbrows) stacked coefficient
+        layout, cached on the container for concrete values so Krylov
+        loops calling ``bdia_spmv`` repeatedly do not re-materialise a
+        second full copy of the matrix data per call (ADVICE r4).  Traced
+        values (inside jit) are never cached — XLA hoists the stack out of
+        loop bodies there."""
+        from ..ops.bstencil import stack_spmv_coeffs
+
+        c = getattr(self, "_spmv_stack_cache", None)
+        if c is not None:
+            return c
+        C = stack_spmv_coeffs(self.offsets, self.data, self.bs)
+        if not isinstance(C, jax.core.Tracer):
+            object.__setattr__(self, "_spmv_stack_cache", C)
+        return C
+
+    def resolved_diag_mask_full(self) -> bool | None:
+        """The static flag if carried, else a host check of the concrete
+        main-diagonal mask (None when the mask is traced)."""
+        if self.diag_mask_full is not None:
+            return self.diag_mask_full
+        try:
+            return bool(np.asarray(self.mask[self.offsets.index(0)]).all())
+        except jax.errors.TracerArrayConversionError:
+            return None
+
     def with_new_data(self, data) -> "BlockDiaMatrix":
         """Same band structure, new values (masked to the structural
         pattern) — the value-update path (see :meth:`DiaMatrix.with_new_data`).
@@ -128,7 +162,8 @@ class BlockDiaMatrix:
         data = tuple(
             tuple(jnp.where(m, jnp.asarray(c), 0.0) for c in comp)
             for m, comp in zip(self.mask, data))
-        return BlockDiaMatrix(data=data, mask=self.mask, offsets=self.offsets)
+        return BlockDiaMatrix(data=data, mask=self.mask, offsets=self.offsets,
+                              diag_mask_full=self.diag_mask_full)
 
     def to_scipy(self):
         import scipy.sparse as sps
@@ -167,7 +202,10 @@ def bdia_pad_identity(A: BlockDiaMatrix, nb_pad: int) -> BlockDiaMatrix:
         for d, comp in enumerate(A.data))
     mask = tuple(jnp.concatenate([m, jnp.full(extra, d == d0)])
                  for d, m in enumerate(A.mask))
-    return BlockDiaMatrix(data=data, mask=mask, offsets=A.offsets)
+    # identity rows extend the main diagonal with True entries, so the
+    # static full-diagonal flag is preserved
+    return BlockDiaMatrix(data=data, mask=mask, offsets=A.offsets,
+                          diag_mask_full=A.diag_mask_full)
 
 
 def block_pattern_csr(A: BlockDiaMatrix):
@@ -203,12 +241,14 @@ def bdia_from_bsr(B: BSRMatrix) -> BlockDiaMatrix:
     dsel = np.array([dmap[int(o)] for o in offs])
     data[dsel, rows] = vals
     mask[dsel, rows] = True
+    d0 = int(np.searchsorted(uniq, 0)) if 0 in dmap else -1
     return BlockDiaMatrix(
         data=tuple(tuple(jnp.asarray(data[d, :, i, j])
                          for i in range(bs) for j in range(bs))
                    for d in range(k)),
         mask=tuple(jnp.asarray(mask[d]) for d in range(k)),
-        offsets=tuple(int(o) for o in uniq))
+        offsets=tuple(int(o) for o in uniq),
+        diag_mask_full=bool(mask[d0].all()) if d0 >= 0 else False)
 
 
 def try_bdia_from_bsr(B: BSRMatrix, max_diags: int = 32) -> BlockDiaMatrix | None:
