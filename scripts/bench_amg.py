@@ -154,6 +154,10 @@ def main():
     # and a standalone perf report
     entry = {
         "n": int(n), "npts": npts, "rtol": rtol, "smoother": smoother,
+        # own-keyed run stamp (disjoint from bench.py's) so gen_results'
+        # stale-merge check keeps this entry alongside kernel sections
+        "stamp": {"amg_npts": npts, "amg_rtol": rtol,
+                  "amg_smoother": smoother},
         "levels": [int(t.n) for t in tlev] + [int(Ac.shape[0])],
         "amg_cg": results["amg"], "sgs_cg": results["sgs"],
         "speedup_vs_sgs": round(
@@ -171,7 +175,8 @@ def main():
         with open(path, "w") as f:
             json.dump(merged, f, indent=1, sort_keys=True)
         os.makedirs(os.path.join(root, "perf"), exist_ok=True)
-        rep = os.path.join(root, "perf", "AMG_r04.txt")
+        rep = os.path.join(
+            root, "perf", f"AMG_r{os.environ.get('BENCH_ROUND', '05')}.txt")
         with open(rep, "w") as f:
             f.write("AMG-CG vs single-level SGS-CG, real TPU (v5e), "
                     f"{time.strftime('%Y-%m-%d')}\n"

@@ -36,10 +36,33 @@ def main():
     ap.add_argument("--out", default=os.path.join(ROOT, "RESULTS.md"))
     ap.add_argument("--detail", default=os.path.join(ROOT,
                                                      "bench_detail.json"))
+    ap.add_argument("--allow-unstamped", action="store_true",
+                    help="render entries lacking a run-config stamp")
     args = ap.parse_args()
 
     with open(args.detail) as f:
         d = json.load(f)
+
+    # Stale-merge defence (VERDICT r4 weak #3): bench.py merges partial
+    # runs into bench_detail.json, so entries may predate the current
+    # configuration.  Every entry carries the run-config stamp it was
+    # measured under; drop any whose stamp disagrees with the file-level
+    # one (the most recent run) instead of presenting it as current.
+    ref_stamp = d.pop("_stamp", None)
+    dropped = []
+    for k in [k for k in d if isinstance(d[k], dict)]:
+        st = d[k].get("stamp")
+        if st is None and not args.allow_unstamped:
+            dropped.append((k, "unstamped"))
+            del d[k]
+        elif st is not None and ref_stamp is not None and any(
+                st[f] != ref_stamp[f] for f in st.keys() & ref_stamp.keys()):
+            # disagree on any SHARED config key (entries from other
+            # harnesses, e.g. bench_amg, stamp their own keys)
+            dropped.append((k, "stamp mismatch"))
+            del d[k]
+    for k, why in dropped:
+        print(f"gen_results: dropping stale entry {k!r} ({why})")
 
     lines = []
     add = lines.append
@@ -135,7 +158,7 @@ def main():
         add("")
         add(f"AMG time-to-solution speedup vs SGS: "
             f"**{e.get('speedup_vs_sgs', '?')}×** "
-            f"(hierarchy {e.get('levels')}; perf/AMG_r04.txt).")
+            f"(hierarchy {e.get('levels')}; perf/AMG_r*.txt).")
         add("")
 
     add("Further reports: `perf/` (on-chip perftest with per-iteration "
