@@ -11,13 +11,13 @@ explicit with one VMEM halo ring per vector column.
 
 Buffer-count discipline (measured, CLAUDE.md #4): Pallas per-stream
 pipeline overhead grows past ~9 buffers, so the k·bs² coefficient streams
-travel as ONE stacked (R, n) array — rows (i, d, j) with each output row
-i's group padded to a multiple of 8 so the per-i slices are sublane-group
-aligned — and the shifted operands are gathered once per grid step into a
-(G8, T) window matrix XW (row (d,j) = x_j[·+o_d]) so the whole contraction
-is one elementwise product + sublane-sum per output row:
-
-    y_i = Σ_sublanes ( C[i·G8:(i+1)·G8, :] ⊙ XW )
+travel as ONE stacked (~k·bs², n) array (rows (i, d, j), tail-padded to
+the sublane multiple only) pipelined through BlockSpec, while the few
+shifted operands (bs vector columns / bs² Dinv streams) use explicit
+per-stream halo rings.  All per-tile compute is CHUNKED to 1024-lane
+(one-vreg) slices and accumulated per output row in registers — full-T
+vectors are 16 vregs each at T=16K and spill every intermediate
+(CLAUDE.md Pallas #7-#9).
 
 (reference: this replaces the hot loops of src/blas/matvecs.cpp block gemv
 on banded storage; no counterpart exists in the reference — it is a
@@ -84,29 +84,31 @@ def bstencil_gate(offsets, nb: int, streams: int, itemsize: int = 4,
         S8 = _g8(streams)
         rows = 2 * _g8(streams * (1 + 2 * kl)) + _NBUF * S8 + 4 * S8
     else:
-        # streams rings + double-buffered (streams·G8) coefficient slab +
-        # double-buffered outputs + the (G8, T) window scratch
-        G8 = _g8(k * streams)
-        rows = 2 * streams * G8 + _NBUF * streams + 2 * streams + G8
+        # streams rings + double-buffered (k·streams²) coefficient slab +
+        # double-buffered outputs
+        rows = (2 * _g8(k * streams * streams) + _NBUF * streams
+                + 2 * streams)
     if rows * T * itemsize > 80 * 1024 * 1024:
         return None
     return plan
 
 
 def stack_spmv_coeffs(offsets, data, bs: int) -> jax.Array:
-    """Stack the SoA component streams into the kernel's (bs·G8, nb) layout:
-    row i·G8 + d·bs + j = data[d][i·bs+j]; rows [k·bs, G8) of each i-group
-    are zero (they multiply whatever is in the padding rows of XW)."""
+    """Stack the SoA component streams into the kernel's (~k·bs², nb)
+    layout: row i·(k·bs) + d·bs + j = data[d][i·bs+j], tail-padded to the
+    sublane multiple only.  (The round-4 kernel's (bs·G8, nb) layout
+    zero-padded every i-group to G8 = ceil8(k·bs) for its (G8, T) window
+    reduction — 14%/12% pure padding traffic at bs=4/5 that the chunked
+    kernel, which accumulates per row, does not need.)"""
     k = len(offsets)
-    G8 = _g8(k * bs)
     nb = data[0][0].shape[0]
     rows = []
-    zero = jnp.zeros((nb,), data[0][0].dtype)
     for i in range(bs):
         for d in range(k):
             for j in range(bs):
                 rows.append(data[d][i * bs + j])
-        rows.extend([zero] * (G8 - k * bs))
+    zero = jnp.zeros((nb,), data[0][0].dtype)
+    rows.extend([zero] * (_g8(k * bs * bs) - k * bs * bs))
     return jnp.stack(rows)
 
 
@@ -185,13 +187,14 @@ def _bspmv_call(offsets: tuple, bs: int, nb: int, T: int, dtype_name: str):
     (the round-4 kernel's per-row xw writes + full-T reduction spilled at
     T=16K lanes; chunking lifted block4_bspmv 0.79 → see bench)."""
     k = len(offsets)
-    G8 = _g8(k * bs)
+    kb = k * bs
+    RC = _g8(k * bs * bs)
     nt = nb // T
     dt = jnp.dtype(dtype_name)
     CH = min(_FCH, T)
 
     def kernel(*refs):
-        C = refs[0]                       # (bs·G8, T) clamped block
+        C = refs[0]                       # (RC, T) clamped block
         xps = refs[1:1 + bs]              # padded columns, HBM
         outs = refs[1 + bs:1 + 2 * bs]    # padded columns, block tt
         xbufs = refs[1 + 2 * bs:1 + 3 * bs]
@@ -216,7 +219,7 @@ def _bspmv_call(offsets: tuple, bs: int, nb: int, T: int, dtype_name: str):
                     acc = None
                     for d in range(k):
                         for j in range(bs):
-                            tm = C[i * G8 + d * bs + j, sl] * w[d][j]
+                            tm = C[i * kb + d * bs + j, sl] * w[d][j]
                             acc = tm if acc is None else acc + tm
                     outs[i][sl] = acc
 
@@ -225,8 +228,8 @@ def _bspmv_call(offsets: tuple, bs: int, nb: int, T: int, dtype_name: str):
             for i in range(bs):
                 outs[i][:] = jnp.zeros((T,), dt)
 
-    cspec = pl.BlockSpec((bs * G8, T), lambda tt: (0, jnp.clip(tt - 1, 0,
-                                                               nt - 1)),
+    cspec = pl.BlockSpec((RC, T), lambda tt: (0, jnp.clip(tt - 1, 0,
+                                                          nt - 1)),
                          memory_space=pltpu.VMEM)
     pspec = pl.BlockSpec((T,), lambda tt: (tt,), memory_space=pltpu.VMEM)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
