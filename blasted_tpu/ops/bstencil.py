@@ -51,6 +51,9 @@ def _g8(x: int) -> int:
     return -(-x // 8) * 8
 
 
+_FCH = 1024          # kernel lane chunk: one (8, 128) f32 vreg
+
+
 def bstencil_gate(offsets, nb: int, streams: int, itemsize: int = 4,
                   kind: str = "spmv"):
     """Production gating: real TPU + eligible tile plan + the shifted
@@ -147,7 +150,7 @@ def _ring_chunk_reader1d(xbuf, t, T, CH):
 
     ``dread(o, c0)`` returns the (CH,) slice of ``x[·+o]`` for lanes
     [c0, c0+CH) of real tile ``t``, o ∈ [−T, T].  Same aligned-loads +
-    lane-roll discipline as :func:`_ring_chunk_reader` (Mosaic refuses
+    lane-roll discipline required by Mosaic (it refuses
     unaligned ref slices); the scratch carries CH spare lanes."""
     def base(i):
         return pl.multiple_of((i % _NBUF) * T, T)
@@ -318,9 +321,6 @@ def gj_inverse_rows(rows, bs: int):
                 f = M[r][col]
                 M[r] = [M[r][j] - f * pn[j] for j in range(2 * bs)]
     return tuple(M[i][bs + j] for i in range(bs) for j in range(bs))
-
-
-_FCH = 1024          # factor-kernel lane chunk: one (8, 128) f32 vreg
 
 
 

@@ -128,7 +128,7 @@ class BlockDiaMatrix:
         return self.data
 
     def stacked_spmv_coeffs(self) -> jax.Array:
-        """The stencil SpMV kernel's (bs·G8, nbrows) stacked coefficient
+        """The stencil SpMV kernel's (~k·bs², nbrows) stacked coefficient
         layout, cached on the container for concrete values so Krylov
         loops calling ``bdia_spmv`` repeatedly do not re-materialise a
         second full copy of the matrix data per call (ADVICE r4).  Traced
