@@ -138,8 +138,10 @@ def _one_run(A, b, options, repeats: int) -> TimingRun:
     except NotImplementedError:
         run.apply_slope_ms = 0.0
 
-    # per-build-sweep slope: two one-shot setups at sweep counts b and b+16
+    # per-build-sweep slope: two one-shot setups at sweep counts b and b+64
     # through the same api path; the difference isolates the sweep kernel
+    # (a small-delta difference drowns in the tunnel's ±10 ms call jitter at
+    # ~0.1 ms/sweep — CLAUDE.md bench conditioning)
     bsw = opts.async_sweeps[0]
     if bsw > 0:
         import dataclasses
@@ -150,7 +152,7 @@ def _one_run(A, b, options, repeats: int) -> TimingRun:
             c2 = setup_local_preconditioner(D, o2)
             compute_preconditioner(c2)             # compile + first run
             best = float("inf")
-            for _ in range(3):
+            for _ in range(4):
                 t0 = time.perf_counter()
                 compute_preconditioner(c2)
                 for leaf in jax.tree_util.tree_leaves(c2.prec.state):
@@ -158,8 +160,8 @@ def _one_run(A, b, options, repeats: int) -> TimingRun:
                 best = min(best, time.perf_counter() - t0)
             return best
 
-        t1, t2 = setup_time(bsw), setup_time(bsw + 16)
-        run.setup_slope_ms = max(1e3 * (t2 - t1) / 16, 0.0)
+        t1, t2 = setup_time(bsw), setup_time(bsw + 256)
+        run.setup_slope_ms = max(1e3 * (t2 - t1) / 256, 0.0)
     return run
 
 

@@ -159,6 +159,20 @@ def main():
         add(f"AMG time-to-solution speedup vs SGS: "
             f"**{e.get('speedup_vs_sgs', '?')}×** "
             f"(hierarchy {e.get('levels')}; perf/AMG_r*.txt).")
+        amg_it = e.get("amg_cg", {}).get("iters")
+        sgs_it = e.get("sgs_cg", {}).get("iters")
+        if amg_it and sgs_it:
+            add("")
+            add(f"AMG's value here is iteration robustness "
+                f"({amg_it} vs {sgs_it} CG iterations, mesh-independent "
+                f"under refinement); on this well-conditioned Poisson "
+                f"fixture the single-level SGS wall-clock "
+                f"{'wins' if e.get('speedup_vs_sgs', 1) < 1 else 'loses'} "
+                f"because a V-cycle costs "
+                f"{e.get('amg_cg', {}).get('ms_per_iter', '?')} ms vs "
+                f"{e.get('sgs_cg', {}).get('ms_per_iter', '?')} ms per "
+                f"iteration on the v5e (small coarse levels are "
+                f"launch-latency-bound).")
         add("")
 
     add("Further reports: `perf/` (on-chip perftest with per-iteration "
