@@ -51,7 +51,10 @@ def _g8(x: int) -> int:
     return -(-x // 8) * 8
 
 
-_FCH = 1024          # kernel lane chunk: one (8, 128) f32 vreg
+_SCH = 1024          # bspmv lane chunk: one (8, 128) f32 vreg
+_FCH = 2048          # factor lane chunk: 2 vregs/value measured ~3% faster
+#                      than 1 (591 -> 607 GB/s at bench size; 4096 equal,
+#                      512 fails Mosaic sub-vreg shape constraints)
 
 
 def bstencil_gate(offsets, nb: int, streams: int, itemsize: int = 4,
@@ -194,7 +197,7 @@ def _bspmv_call(offsets: tuple, bs: int, nb: int, T: int, dtype_name: str):
     RC = _g8(k * bs * bs)
     nt = nb // T
     dt = jnp.dtype(dtype_name)
-    CH = min(_FCH, T)
+    CH = min(_SCH, T)
 
     def kernel(*refs):
         C = refs[0]                       # (RC, T) clamped block
@@ -400,6 +403,8 @@ def _bfactor_call(pair_offs: tuple, bs: int, nb: int, T: int,
     nt = nb // T
     dt = jnp.dtype(dtype_name)
     CH = min(_FCH, T)
+    while T % CH:          # chunks must tile T exactly (T is a multiple
+        CH //= 2           # of 1024, not necessarily of _FCH)
 
     def kernel(*refs):
         C = refs[0]
