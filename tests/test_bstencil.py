@@ -146,6 +146,61 @@ def test_bstencil_factor_dinv_sweep_fuses_gj():
                                    rtol=3e-5, atol=3e-5)
 
 
+def test_bstencil_factor_chunk_not_dividing_preferred():
+    """T a multiple of 1024 but NOT of the preferred 2048-lane chunk
+    (bs=5 g=48's T=3072 exposed a chunk/tile shape mismatch on chip): the
+    kernel must fall back to a dividing chunk and stay exact."""
+    from blasted_tpu.ops.bstencil import (
+        _FCH,
+        bdia_factor_dinv_sweep_stencil,
+        gj_inverse_rows,
+        stack_factor_coeffs,
+    )
+    from blasted_tpu.ops.stencil import pad_vec, stencil_plan
+    from blasted_tpu.precond.bdia_ilu0 import _soa_bmm, _soa_gj_inverse
+    from blasted_tpu.sparse.dia import shift_read
+
+    bs = 2
+    offsets = (-2500, -1, 0, 1, 2500)
+    nb = 6144
+    T, nt = stencil_plan(offsets, nb)
+    assert T == 3072 and T % _FCH != 0   # the regression precondition
+    rng = np.random.default_rng(2)
+    data = []
+    for d in range(len(offsets)):
+        comp = []
+        for i in range(bs):
+            for j in range(bs):
+                v = 0.25 * rng.standard_normal(nb)
+                if offsets[d] == 0 and i == j:
+                    v = v + 4.0
+                comp.append(jnp.asarray(v, dtype=jnp.float32))
+        data.append(tuple(comp))
+    data = tuple(data)
+    mask_full = jnp.ones((nb,), bool)
+    pairs = dia_pairs(offsets)
+    d0 = offsets.index(0)
+    pairs_key = [tuple(p) for p in pairs[d0]]
+    pair_offs = tuple(o1 for (_, _, o1) in pairs_key)
+
+    C = stack_factor_coeffs(pairs_key, d0, data, data, bs)
+    dinv = _soa_gj_inverse(data[d0], bs, mask_full)
+    outp = bdia_factor_dinv_sweep_stencil(
+        pair_offs, C, tuple(pad_vec(c, T) for c in dinv), bs, T)
+    got = [np.asarray(o[T:-T]) for o in outp]
+
+    u0n = [np.asarray(c) for c in data[d0]]
+    for (dl, du, o1) in pairs_key:
+        low = _soa_bmm(data[dl], dinv, bs, shift=o1)
+        ub_pre = [shift_read(c, o1) for c in data[du]]
+        prod = _soa_bmm(low, ub_pre, bs)
+        u0n = [w - np.asarray(p) for w, p in zip(u0n, prod)]
+    want = gj_inverse_rows([jnp.asarray(r) for r in u0n], bs)
+    for r in range(bs * bs):
+        np.testing.assert_allclose(got[r], np.asarray(want[r]),
+                                   rtol=3e-5, atol=3e-5)
+
+
 def test_gj_inverse_rows_matches_numpy():
     """Shared GJ helper (first-max where-chain pivoting) vs numpy.linalg.inv
     on random well- and badly-scaled blocks."""
